@@ -1,0 +1,103 @@
+"""D7 — fixed-shape batching/collation (SURVEY.md §2.1 D7).
+
+The reference class uses ragged batching with per-sample voxel counts;
+here every sample is padded to config budgets (max points, max boxes)
+so batch shapes are static for XLA. Overflowing points are dropped
+deterministically (lowest indices kept).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Iterator, List
+
+import numpy as np
+
+
+def pad_points(cloud: np.ndarray, max_points: int) -> Dict[str, np.ndarray]:
+    """Pad/truncate one (N, C) cloud to (max_points, C) + mask."""
+    n = min(len(cloud), max_points)
+    c = cloud.shape[1]
+    points = np.zeros((max_points, c), np.float32)
+    points[:n] = cloud[:n]
+    mask = np.zeros((max_points,), bool)
+    mask[:n] = True
+    return {"points": points, "point_mask": mask}
+
+
+def pad_labels(labels: np.ndarray, max_points: int,
+               ignore: int = -1) -> np.ndarray:
+    """Pad/truncate per-point labels to (max_points,)."""
+    out = np.full((max_points,), ignore, labels.dtype)
+    n = min(len(labels), max_points)
+    out[:n] = labels[:n]
+    return out
+
+
+def pad_boxes(boxes: np.ndarray, classes: np.ndarray,
+              max_boxes: int) -> Dict[str, np.ndarray]:
+    """Pad/truncate (B, 7) gt boxes + (B,) class ids to the budget."""
+    b = min(len(boxes), max_boxes)
+    out_boxes = np.zeros((max_boxes, 7), np.float32)
+    out_cls = np.full((max_boxes,), -1, np.int32)
+    out_boxes[:b] = boxes[:b]
+    out_cls[:b] = classes[:b]
+    mask = np.zeros((max_boxes,), bool)
+    mask[:b] = True
+    return {"gt_boxes": out_boxes, "gt_classes": out_cls, "gt_mask": mask}
+
+
+def pad_to_budget(sample: Dict[str, np.ndarray], budget) -> Dict[str, np.ndarray]:
+    """Pad a raw dataset sample dict to the BudgetConfig shapes."""
+    out: Dict[str, np.ndarray] = {}
+    out.update(pad_points(sample["points"], budget.max_points))
+    if "point_labels" in sample:
+        out["point_labels"] = pad_labels(
+            sample["point_labels"], budget.max_points)
+    if "label" in sample:
+        out["label"] = np.asarray(sample["label"], np.int32)
+    if "category" in sample:
+        out["category"] = np.asarray(sample["category"], np.int32)
+    if "gt_boxes" in sample:
+        out.update(pad_boxes(sample["gt_boxes"], sample["gt_classes"],
+                             budget.max_boxes))
+    return out
+
+
+def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack padded samples into one batch dict."""
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+def make_batches(
+    dataset,
+    budget,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    epochs: int | None = None,
+    augment_fn=None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield fixed-shape batches from an indexable dataset forever (or
+    for `epochs` epochs)."""
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = np.arange(len(dataset))
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                       batch_size):
+            idx = order[i:i + batch_size]
+            if len(idx) < batch_size and drop_last:
+                break
+            samples = []
+            for j in idx:
+                s = dataset[int(j)]
+                if augment_fn is not None:
+                    s = augment_fn(s, rng)
+                samples.append(pad_to_budget(s, budget))
+            yield collate(samples)
+        epoch += 1

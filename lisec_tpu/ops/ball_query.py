@@ -1,0 +1,57 @@
+"""O3 — ball query (SURVEY.md §2.3 O3).
+
+Reference form: CUDA radius search returning <= nsample indices per
+center with repeat-fill. TPU-native design: tiled brute-force O(M*N)
+distance matrix (VPU) + ``top_k`` over an index-valued key, fixed K —
+fully static shapes. Matches the canonical semantics: the first K
+in-radius points *in index order*, repeat-filling with the first found
+index when fewer than K fall inside the ball.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("num_neighbors",))
+def ball_query(
+    centers: jax.Array,
+    points: jax.Array,
+    point_mask: jax.Array,
+    *,
+    radius: float,
+    num_neighbors: int,
+) -> jax.Array:
+    """Indices of up to K points within ``radius`` of each center.
+
+    Args:
+      centers: (..., M, 3); points: (..., N, 3); point_mask: (..., N).
+
+    Returns:
+      (..., M, K) int32 indices into N. Centers with zero in-radius
+      points return index 0 (callers should mask by their own center
+      validity; this mirrors the canonical repeat-fill convention).
+    """
+    if centers.ndim > 2:
+        return jax.vmap(
+            lambda c, p, m: ball_query(
+                c, p, m, radius=radius, num_neighbors=num_neighbors)
+        )(centers, points, point_mask)
+
+    n = points.shape[0]
+    d2 = jnp.sum(
+        (centers[:, None, :] - points[None, :, :]) ** 2, axis=-1)  # (M, N)
+    inside = (d2 < radius * radius) & point_mask.astype(bool)[None, :]
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # Key: in-radius points keep their index; others get n (sorts last).
+    key = jnp.where(inside, idx[None, :], n)
+    # Smallest K keys = first K in-radius indices in index order.
+    neg_topk, _ = jax.lax.top_k(-key, num_neighbors)          # (M, K)
+    knn = (-neg_topk).astype(jnp.int32)
+    # Repeat-fill empty slots with the first found index (or 0 if none).
+    first = jnp.where(knn[:, :1] < n, knn[:, :1], 0)
+    return jnp.where(knn < n, knn, first)

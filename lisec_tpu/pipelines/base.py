@@ -1,0 +1,129 @@
+"""Pipeline base: the training/inference contract every workload
+implements (SURVEY.md §3.2/§3.3).
+
+A pipeline owns the flax model, the loss, and the jitted step
+functions. The train step is jitted over a data mesh with the batch
+axis sharded and parameters replicated — XLA inserts the gradient
+all-reduce over ICI (P1). ``infer`` compiles the full device program
+(preprocess -> model -> postprocess) so inference is one round trip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from lisec_tpu.config import Config
+from lisec_tpu.parallel import (
+    batch_sharding, make_mesh, replicated_sharding, shard_batch)
+from lisec_tpu.training.optim import make_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class Pipeline:
+    """Subclasses set ``self.model`` (flax Module) in __init__ and
+    implement ``make_dataset``, ``dummy_batch``, ``loss`` and
+    ``predict``."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.optimizer, self.schedule = make_optimizer(cfg.train)
+        self.mesh = make_mesh(cfg.train.num_devices)
+        self._train_step = None
+        self._predict = None
+
+    # -- subclass API ------------------------------------------------------
+
+    def make_dataset(self, split: str):
+        raise NotImplementedError
+
+    def dummy_batch(self) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def loss(self, params, batch_stats, batch, rng,
+             train: bool) -> Tuple[jax.Array, Tuple[Dict, Any]]:
+        """Returns (loss, (aux_metrics, new_batch_stats))."""
+        raise NotImplementedError
+
+    def predict(self, params, batch_stats, batch) -> Dict[str, jax.Array]:
+        """Inference outputs (argmax labels / decoded boxes...)."""
+        raise NotImplementedError
+
+    def augment_fn(self, split: str):
+        """Host-side augmentation hook; None = no augmentation."""
+        return None
+
+    # -- provided machinery ------------------------------------------------
+
+    def init_state(self, seed: int = 0) -> TrainState:
+        batch = jax.tree.map(jnp.asarray, self.dummy_batch())
+        rng = jax.random.PRNGKey(seed)
+        variables = self.init_variables(rng, batch)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=batch_stats, opt_state=opt_state)
+
+    def init_variables(self, rng, batch):
+        raise NotImplementedError
+
+    def train_step(self, state: TrainState, batch, rng) -> Tuple[
+            TrainState, Dict[str, jax.Array]]:
+        if self._train_step is None:
+            rep = replicated_sharding(self.mesh)
+            data = batch_sharding(self.mesh)
+
+            @functools.partial(
+                jax.jit,
+                in_shardings=(rep, data, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,))
+            def step(state, batch, rng):
+                def loss_fn(params):
+                    return self.loss(params, state.batch_stats, batch,
+                                     rng, train=True)
+
+                (loss, (aux, new_bs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                aux = dict(aux)
+                aux["loss"] = loss
+                aux["grad_norm"] = optax.global_norm(grads)
+                new_state = TrainState(
+                    step=state.step + 1, params=params,
+                    batch_stats=new_bs, opt_state=opt_state)
+                return new_state, aux
+
+            self._train_step = step
+        batch = shard_batch(batch, self.mesh)
+        return self._train_step(state, batch, rng)
+
+    def infer(self, state: TrainState, batch) -> Dict[str, jax.Array]:
+        """One-round-trip inference: batch in, outputs out."""
+        if self._predict is None:
+            self._predict = jax.jit(self.predict)
+        batch = jax.tree.map(jnp.asarray, batch)
+        return self._predict(state.params, state.batch_stats, batch)
+
+    # -- helpers -----------------------------------------------------------
+
+    def device_batch(self, batch: Dict[str, np.ndarray]):
+        return shard_batch(batch, self.mesh)

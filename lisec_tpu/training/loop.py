@@ -1,0 +1,137 @@
+"""R1 — training loop (SURVEY.md §2.5 R1, §3.2).
+
+Host feeds fixed-shape batches; the jitted train step runs on the data
+mesh (fwd+bwd+update, grads all-reduced over ICI by XLA). Hooks:
+JSONL metrics logging (§5.5), orbax checkpointing with ``--resume
+auto`` (§5.4), periodic eval.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from lisec_tpu.config import Config
+
+
+class MetricsLogger:
+    """Structured JSONL metrics writer (SURVEY.md §5.5)."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        self.file = None
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self.file = open(path, "a")
+
+    def log(self, record: Dict) -> None:
+        if self.file:
+            self.file.write(json.dumps(record) + "\n")
+            self.file.flush()
+
+    def close(self) -> None:
+        if self.file:
+            self.file.close()
+
+
+def run_training(cfg: Config, *, progress: bool = True):
+    """Train per config; returns (pipeline, final_state, history)."""
+    from lisec_tpu.api import build_model
+    from lisec_tpu.data.collate import make_batches
+    from lisec_tpu.training.checkpoint import CheckpointManager
+
+    pipeline = build_model(cfg)
+    state = pipeline.init_state(cfg.train.seed)
+
+    ckpt = None
+    if cfg.train.ckpt_dir:
+        ckpt = CheckpointManager(
+            cfg.train.ckpt_dir, keep=cfg.train.ckpt_keep,
+            every=cfg.train.ckpt_every)
+        if cfg.train.resume:
+            restored = ckpt.restore(state)
+            if restored is not None:
+                state = restored
+
+    logger = MetricsLogger(
+        os.path.join(cfg.train.ckpt_dir, "metrics.jsonl")
+        if cfg.train.ckpt_dir else None)
+
+    dataset = pipeline.make_dataset("train")
+    batches = make_batches(
+        dataset, cfg.budget, cfg.train.batch_size,
+        shuffle=True, seed=cfg.train.seed,
+        augment_fn=pipeline.augment_fn("train"))
+
+    rng = jax.random.PRNGKey(cfg.train.seed + 17)
+    history = []
+    start_step = int(state.step)
+    t0 = time.time()
+    samples_done = 0
+
+    for step in range(start_step, cfg.train.num_steps):
+        batch = next(batches)
+        step_rng = jax.random.fold_in(rng, step)
+        state, aux = pipeline.train_step(state, batch, step_rng)
+        samples_done += cfg.train.batch_size
+
+        if (step + 1) % cfg.train.log_every == 0 or step == start_step:
+            aux_host = {k: float(v) for k, v in aux.items()}
+            elapsed = time.time() - t0
+            rec = {
+                "step": step + 1,
+                "lr": float(pipeline.schedule(step)),
+                "clouds_per_sec": samples_done / max(elapsed, 1e-9),
+                **aux_host,
+            }
+            history.append(rec)
+            logger.log(rec)
+            if progress:
+                msg = " ".join(
+                    f"{k}={v:.4g}" for k, v in rec.items()
+                    if isinstance(v, float))
+                print(f"[train {step + 1}/{cfg.train.num_steps}] {msg}",
+                      flush=True)
+
+        if ckpt is not None:
+            ckpt.save(step + 1, jax.device_get(state))
+
+        if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0 \
+                and hasattr(pipeline, "evaluate"):
+            metrics = pipeline.evaluate(state)
+            rec = {"step": step + 1, "eval": metrics}
+            history.append(rec)
+            logger.log(rec)
+            if progress:
+                print(f"[eval {step + 1}] {metrics}", flush=True)
+
+    if ckpt is not None:
+        ckpt.save(cfg.train.num_steps, jax.device_get(state), force=True)
+        ckpt.wait()
+        ckpt.close()
+    logger.close()
+    return pipeline, state, history
+
+
+def run_evaluation(cfg: Config, *, state=None):
+    """Evaluate a config (restoring the latest checkpoint if needed)."""
+    from lisec_tpu.api import build_model
+    from lisec_tpu.training.checkpoint import CheckpointManager
+
+    pipeline = build_model(cfg)
+    if state is None:
+        state = pipeline.init_state(cfg.train.seed)
+        if cfg.train.ckpt_dir:
+            ckpt = CheckpointManager(cfg.train.ckpt_dir)
+            restored = ckpt.restore(state)
+            if restored is not None:
+                state = restored
+            ckpt.close()
+    metrics = pipeline.evaluate(state)
+    print(json.dumps(metrics, indent=2))
+    return metrics

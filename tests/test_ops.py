@@ -1,0 +1,393 @@
+"""Unit tests: L2 ops vs NumPy oracles (SURVEY.md §4 test pyramid, unit level)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lisec_tpu import ops
+from tests.oracles import ops_np
+
+
+def _cloud(rng, n=512, c=4, lo=(0, -20, -3), hi=(40, 20, 1)):
+    pts = np.stack([
+        rng.uniform(lo[0], hi[0], n),
+        rng.uniform(lo[1], hi[1], n),
+        rng.uniform(lo[2], hi[2], n),
+        rng.uniform(0, 1, n),
+    ], axis=-1)[:, :c].astype(np.float32)
+    return pts
+
+
+class TestVoxelize:
+    RANGE = (0.0, -20.0, -3.0, 40.0, 20.0, 1.0)
+    VSIZE = (0.5, 0.5, 4.0)
+    GRID = (80, 80, 1)
+
+    def _run(self, pts, mask, max_v=128, max_p=8):
+        res = ops.voxelize(
+            jnp.asarray(pts), jnp.asarray(mask),
+            pc_range=self.RANGE, voxel_size=self.VSIZE, grid_size=self.GRID,
+            max_voxels=max_v, max_points_per_voxel=max_p)
+        ora = ops_np.voxelize_np(
+            pts, mask, self.RANGE, self.VSIZE, self.GRID, max_v, max_p)
+        return res, ora
+
+    def test_matches_oracle(self, rng):
+        pts = _cloud(rng, 512)
+        mask = np.ones(512, bool)
+        res, (v, c, npts, nv, pv) = self._run(pts, mask)
+        assert int(res.num_voxels) == nv
+        np.testing.assert_array_equal(np.asarray(res.coords), c)
+        np.testing.assert_array_equal(np.asarray(res.num_points), npts)
+        np.testing.assert_allclose(np.asarray(res.voxels), v, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(res.point_voxel), pv)
+
+    def test_empty_cloud(self):
+        pts = np.zeros((64, 4), np.float32)
+        mask = np.zeros(64, bool)
+        res, _ = self._run(pts, mask)
+        assert int(res.num_voxels) == 0
+        assert np.all(np.asarray(res.point_voxel) == -1)
+
+    def test_all_points_one_cell(self):
+        pts = np.full((64, 4), 0.5, np.float32)
+        mask = np.ones(64, bool)
+        res, (v, c, npts, nv, pv) = self._run(pts, mask, max_p=8)
+        assert int(res.num_voxels) == 1
+        assert int(res.num_points[0]) == 8  # overflow dropped at budget
+        np.testing.assert_array_equal(np.asarray(res.point_voxel), pv)
+
+    def test_voxel_budget_overflow(self, rng):
+        pts = _cloud(rng, 512)
+        mask = np.ones(512, bool)
+        res, (v, c, npts, nv, pv) = self._run(pts, mask, max_v=16)
+        assert int(res.num_voxels) == 16
+        np.testing.assert_array_equal(np.asarray(res.coords), c)
+
+    def test_out_of_range_dropped(self):
+        pts = np.array([[100.0, 0, 0, 0], [1.0, 1.0, 0.0, 0]], np.float32)
+        pts = np.tile(pts, (4, 1))
+        mask = np.ones(8, bool)
+        res, (v, c, npts, nv, pv) = self._run(pts, mask)
+        assert int(res.num_voxels) == 1
+        np.testing.assert_array_equal(np.asarray(res.point_voxel), pv)
+
+
+class TestFPS:
+    def test_matches_oracle(self, rng):
+        pts = _cloud(rng, 256, c=3)
+        mask = np.ones(256, bool)
+        got = np.asarray(ops.farthest_point_sampling(
+            jnp.asarray(pts), jnp.asarray(mask), 32))
+        want = ops_np.fps_np(pts, mask, 32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_masked_points_never_selected(self, rng):
+        pts = _cloud(rng, 256, c=3)
+        mask = np.zeros(256, bool)
+        mask[:50] = True
+        got = np.asarray(ops.farthest_point_sampling(
+            jnp.asarray(pts), jnp.asarray(mask), 32))
+        assert np.all(got < 50)
+
+    def test_more_samples_than_points(self, rng):
+        pts = _cloud(rng, 64, c=3)
+        mask = np.zeros(64, bool)
+        mask[:5] = True
+        got = np.asarray(ops.farthest_point_sampling(
+            jnp.asarray(pts), jnp.asarray(mask), 16))
+        assert np.all(got < 5)
+        assert len(np.unique(got[:5])) == 5
+
+    def test_batched(self, rng):
+        pts = np.stack([_cloud(rng, 128, c=3) for _ in range(3)])
+        mask = np.ones((3, 128), bool)
+        got = np.asarray(ops.farthest_point_sampling(
+            jnp.asarray(pts), jnp.asarray(mask), 16))
+        for b in range(3):
+            np.testing.assert_array_equal(
+                got[b], ops_np.fps_np(pts[b], mask[b], 16))
+
+
+class TestBallQuery:
+    def test_matches_oracle(self, rng):
+        pts = _cloud(rng, 256, c=3, lo=(0, 0, 0), hi=(4, 4, 4))
+        centers = pts[:32]
+        mask = np.ones(256, bool)
+        got = np.asarray(ops.ball_query(
+            jnp.asarray(centers), jnp.asarray(pts), jnp.asarray(mask),
+            radius=0.8, num_neighbors=16))
+        want = ops_np.ball_query_np(centers, pts, mask, 0.8, 16)
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty_ball(self, rng):
+        pts = np.zeros((8, 3), np.float32)
+        centers = np.full((2, 3), 100.0, np.float32)
+        mask = np.ones(8, bool)
+        got = np.asarray(ops.ball_query(
+            jnp.asarray(centers), jnp.asarray(pts), jnp.asarray(mask),
+            radius=0.5, num_neighbors=4))
+        assert np.all(got == 0)
+
+
+class TestThreeNN:
+    def test_matches_oracle(self, rng):
+        q = _cloud(rng, 64, c=3)
+        s = _cloud(rng, 32, c=3)
+        smask = np.ones(32, bool)
+        d2, idx = ops.three_nn(jnp.asarray(q), jnp.asarray(s),
+                               jnp.asarray(smask))
+        wd2, widx = ops_np.three_nn_np(q, s, smask)
+        np.testing.assert_allclose(np.asarray(d2), wd2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), widx)
+
+    def test_interpolate(self, rng):
+        q = _cloud(rng, 64, c=3)
+        s = _cloud(rng, 32, c=3)
+        feats = rng.normal(size=(32, 16)).astype(np.float32)
+        smask = np.ones(32, bool)
+        d2, idx = ops.three_nn(jnp.asarray(q), jnp.asarray(s),
+                               jnp.asarray(smask))
+        got = np.asarray(ops.three_interpolate(jnp.asarray(feats), idx, d2))
+        want = ops_np.three_interpolate_np(feats, np.asarray(idx),
+                                           np.asarray(d2))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_grad_flows(self, rng):
+        s = jnp.asarray(_cloud(rng, 32, c=3))
+        q = jnp.asarray(_cloud(rng, 64, c=3))
+        feats = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+        smask = jnp.ones(32, bool)
+
+        def f(feats):
+            d2, idx = ops.three_nn(q, s, smask)
+            return jnp.sum(ops.three_interpolate(feats, idx, d2) ** 2)
+
+        g = jax.grad(f)(feats)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestRotatedIoU:
+    def test_identical_boxes(self):
+        b = jnp.asarray([[0, 0, 0, 4, 2, 1.5, 0.3]], jnp.float32)
+        iou = np.asarray(ops.rotated_iou_bev(b, b))
+        np.testing.assert_allclose(iou, [1.0], atol=1e-5)
+
+    def test_disjoint(self):
+        a = jnp.asarray([0, 0, 0, 2, 2, 1, 0.0], jnp.float32)
+        b = jnp.asarray([10, 10, 0, 2, 2, 1, 0.7], jnp.float32)
+        assert float(ops.rotated_iou_bev(a, b)) == 0.0
+
+    def test_axis_aligned_halves(self):
+        a = jnp.asarray([0, 0, 0, 2, 2, 1, 0.0], jnp.float32)
+        b = jnp.asarray([1, 0, 0, 2, 2, 1, 0.0], jnp.float32)
+        np.testing.assert_allclose(float(ops.rotated_iou_bev(a, b)),
+                                   1 / 3, atol=1e-5)
+
+    def test_random_vs_oracle(self, rng):
+        n = 64
+        boxes_a = np.stack([
+            rng.uniform(-5, 5, n), rng.uniform(-5, 5, n), np.zeros(n),
+            rng.uniform(1, 5, n), rng.uniform(1, 4, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+        boxes_b = np.stack([
+            rng.uniform(-5, 5, n), rng.uniform(-5, 5, n), np.zeros(n),
+            rng.uniform(1, 5, n), rng.uniform(1, 4, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+        got = np.asarray(ops.rotated_iou_bev(
+            jnp.asarray(boxes_a), jnp.asarray(boxes_b)))
+        want = np.array([ops_np.rotated_iou_np(a, b)
+                         for a, b in zip(boxes_a, boxes_b)])
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_yaw_wrap(self):
+        a = jnp.asarray([0, 0, 0, 4, 2, 1, np.pi - 0.01], jnp.float32)
+        b = jnp.asarray([0, 0, 0, 4, 2, 1, -np.pi + 0.01], jnp.float32)
+        assert float(ops.rotated_iou_bev(a, b)) > 0.95
+
+
+class TestNMS:
+    def test_matches_oracle(self, rng):
+        n = 64
+        boxes = np.stack([
+            rng.uniform(-10, 10, n), rng.uniform(-10, 10, n), np.zeros(n),
+            rng.uniform(2, 5, n), rng.uniform(1, 3, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        labels = rng.integers(0, 3, n).astype(np.int32)
+        res = ops.rotated_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+            iou_threshold=0.3, score_threshold=0.1, nms_pre=64, nms_post=32,
+            row_chunk=32)
+        want_keep = ops_np.nms_np(boxes, scores, labels, 0.3, 0.1)
+        got_valid = np.asarray(res.valid)
+        got_scores = np.asarray(res.scores)[got_valid]
+        want_scores = np.sort(scores[want_keep])[::-1][:32]
+        np.testing.assert_allclose(np.sort(got_scores)[::-1], want_scores,
+                                   rtol=1e-6)
+
+    def test_suppresses_duplicates(self):
+        box = [0, 0, 0, 4, 2, 1.5, 0.2]
+        boxes = jnp.asarray([box, box, box], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        labels = jnp.zeros(3, jnp.int32)
+        res = ops.rotated_nms(boxes, scores, labels, iou_threshold=0.5,
+                              nms_pre=3, nms_post=3, row_chunk=3)
+        assert int(np.asarray(res.valid).sum()) == 1
+        assert float(res.scores[0]) == pytest.approx(0.9)
+
+
+class TestBoxes:
+    def test_encode_decode_roundtrip(self, rng):
+        n = 32
+        anchors = np.stack([
+            rng.uniform(-10, 10, n), rng.uniform(-10, 10, n),
+            rng.uniform(-2, 0, n), np.full(n, 3.9), np.full(n, 1.6),
+            np.full(n, 1.56), np.zeros(n)], -1).astype(np.float32)
+        boxes = anchors + rng.normal(0, 0.1, anchors.shape).astype(np.float32)
+        enc = ops.encode_boxes(jnp.asarray(boxes), jnp.asarray(anchors))
+        dec = np.asarray(ops.decode_boxes(enc, jnp.asarray(anchors)))
+        np.testing.assert_allclose(dec, boxes, rtol=1e-3, atol=1e-3)
+
+    def test_points_in_rbbox(self):
+        boxes = jnp.asarray([[0, 0, 0, 4, 2, 2, np.pi / 2]], jnp.float32)
+        pts = jnp.asarray([
+            [0, 0, 0], [0, 1.9, 0], [1.9, 0, 0], [0.9, 0, 0], [0, 0, 1.1],
+        ], jnp.float32)
+        got = np.asarray(ops.points_in_rbbox(pts, boxes))[:, 0]
+        # yaw=pi/2 swaps l and w: box extends +-1 in x, +-2 in y.
+        np.testing.assert_array_equal(got, [True, True, False, True, False])
+
+
+class TestRangeProjection:
+    H, W = 16, 128
+
+    def test_matches_oracle(self, rng):
+        pts = _cloud(rng, 256, c=4, lo=(1, -10, -2), hi=(30, 10, 1))
+        mask = np.ones(256, bool)
+        res = ops.range_project(jnp.asarray(pts), jnp.asarray(mask),
+                                height=self.H, width=self.W)
+        img, imask, uv = ops_np.range_project_np(pts, mask, self.H, self.W,
+                                                 3.0, -25.0)
+        np.testing.assert_array_equal(np.asarray(res.image_mask), imask)
+        np.testing.assert_array_equal(np.asarray(res.pixel_uv), uv)
+        np.testing.assert_allclose(np.asarray(res.image), img, rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_unproject_roundtrip(self, rng):
+        pts = _cloud(rng, 64, c=4, lo=(1, -10, -2), hi=(30, 10, 1))
+        mask = np.ones(64, bool)
+        res = ops.range_project(jnp.asarray(pts), jnp.asarray(mask),
+                                height=self.H, width=self.W)
+        vals = ops.range_unproject(res.image[..., 0], res.pixel_uv)
+        # Each point reads back a range <= its own (the pixel winner's).
+        assert np.all(np.asarray(vals) <= np.asarray(res.point_range) + 1e-5)
+
+
+class TestKNNRefine:
+    def test_single_class_stays(self, rng):
+        pts = _cloud(rng, 128, c=4, lo=(1, -10, -2), hi=(30, 10, 1))
+        mask = np.ones(128, bool)
+        res = ops.range_project(jnp.asarray(pts), jnp.asarray(mask),
+                                height=16, width=128)
+        labels_img = jnp.full((16, 128), 3, jnp.int32)
+        out = ops.knn_refine(
+            res.point_range, res.pixel_uv, res.image[..., 0], labels_img,
+            res.image_mask, num_classes=8)
+        assert np.all(np.asarray(out) == 3)
+
+
+class TestSparseConv:
+    GRID = (8, 16, 16)
+
+    def _coords(self, rng, v_budget, n_active):
+        # Unique sorted-by-linid coords, valid rows first.
+        nz, ny, nx = self.GRID
+        lin = rng.choice(nz * ny * nx, size=n_active, replace=False)
+        lin = np.sort(lin)
+        coords = np.stack([lin // (ny * nx), (lin // nx) % ny, lin % nx],
+                          -1).astype(np.int32)
+        pad = np.full((v_budget - n_active, 3), -1, np.int32)
+        return np.concatenate([coords, pad])
+
+    def test_submanifold_matches_oracle(self, rng):
+        v, n_act, cin, cout = 64, 40, 8, 12
+        coords = self._coords(rng, v, n_act)
+        feats = rng.normal(size=(v, cin)).astype(np.float32)
+        feats[n_act:] = 0
+        w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+        spec = ops.SparseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1), self.GRID)
+        rb = ops.build_rulebook(
+            jnp.asarray(coords), jnp.asarray(n_act),
+            jnp.asarray(coords), jnp.asarray(n_act), spec)
+        got = np.asarray(ops.sparse_conv3d(
+            jnp.asarray(feats), rb, jnp.asarray(w)))
+        want = ops_np.sparse_conv3d_np(
+            coords[:n_act], feats[:n_act], n_act, w, (3, 3, 3), (1, 1, 1),
+            (1, 1, 1), self.GRID)
+        for o in range(n_act):
+            key = tuple(coords[o])
+            np.testing.assert_allclose(got[o], want.get(key, 0.0),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_strided_output_coords_and_conv(self, rng):
+        v, n_act, cin, cout = 64, 40, 8, 12
+        coords = self._coords(rng, v, n_act)
+        feats = rng.normal(size=(v, cin)).astype(np.float32)
+        feats[n_act:] = 0
+        w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+        spec = ops.SparseConvSpec((3, 3, 3), (2, 2, 2), (1, 1, 1), self.GRID)
+        out_coords, num_out = ops.build_output_coords(
+            jnp.asarray(coords), jnp.asarray(n_act), spec, max_out=64)
+        rb = ops.build_rulebook(
+            jnp.asarray(coords), jnp.asarray(n_act), out_coords, num_out,
+            spec)
+        got = np.asarray(ops.sparse_conv3d(jnp.asarray(feats), rb,
+                                           jnp.asarray(w)))
+        want = ops_np.sparse_conv3d_np(
+            coords[:n_act], feats[:n_act], n_act, w, (3, 3, 3), (2, 2, 2),
+            (1, 1, 1), self.GRID)
+        oc = np.asarray(out_coords)
+        no = int(num_out)
+        assert no == len(want)
+        assert set(map(tuple, oc[:no])) == set(want)
+        for o in range(no):
+            np.testing.assert_allclose(got[o], want[tuple(oc[o])],
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_grad_flows(self, rng):
+        v, n_act, cin, cout = 32, 20, 4, 6
+        coords = self._coords(rng, v, n_act)
+        feats = jnp.asarray(rng.normal(size=(v, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+        spec = ops.SparseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1), self.GRID)
+        rb = ops.build_rulebook(jnp.asarray(coords), jnp.asarray(n_act),
+                                jnp.asarray(coords), jnp.asarray(n_act), spec)
+
+        def f(feats, w):
+            return jnp.sum(ops.sparse_conv3d(feats, rb, w) ** 2)
+
+        gf, gw = jax.grad(f, argnums=(0, 1))(feats, w)
+        assert np.isfinite(np.asarray(gf)).all()
+        assert np.isfinite(np.asarray(gw)).all()
+
+
+class TestPillarScatter:
+    def test_scatter_roundtrip(self, rng):
+        p, c, ny, nx = 16, 8, 8, 8
+        feats = rng.normal(size=(p, c)).astype(np.float32)
+        ys = rng.choice(ny * nx, p, replace=False)
+        coords = np.stack([np.zeros(p), ys // nx, ys % nx], -1).astype(np.int32)
+        canvas = np.asarray(ops.pillar_scatter(
+            jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(10),
+            ny=ny, nx=nx))
+        for i in range(10):
+            np.testing.assert_allclose(
+                canvas[:, coords[i, 1], coords[i, 2]], feats[i])
+        # Invalid pillars (rank >= num_voxels) must not write.
+        for i in range(10, p):
+            np.testing.assert_allclose(
+                canvas[:, coords[i, 1], coords[i, 2]], 0.0)

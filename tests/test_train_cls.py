@@ -1,0 +1,42 @@
+"""Integration: the stage-1 minimum slice — PointNet cls on the fixture
+ModelNet40 trains end-to-end, loss decreases, infer works through the
+public API (SURVEY.md §7 stage 1).
+"""
+
+import numpy as np
+import pytest
+
+import lisec_tpu
+from lisec_tpu.config import load_config, apply_overrides
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return load_config("configs/pointnet_modelnet40_tiny.yaml")
+
+
+def test_train_loss_decreases(tiny_cfg):
+    cfg = apply_overrides(tiny_cfg, ["train.num_steps=40"])
+    pipeline, state, history = lisec_tpu.train(cfg, progress=False)
+    losses = [h["loss"] for h in history if "loss" in h]
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 40
+
+    # Inference through the public API on a fresh cloud.
+    ds = pipeline.make_dataset("test")
+    sample = ds[0]
+    batch = {k: v[None] for k, v in
+             lisec_tpu.preprocess(sample["points"], cfg).items()}
+    out = pipeline.infer(state, batch)
+    assert out["labels"].shape == (1,)
+    assert 0 <= int(out["labels"][0]) < cfg.data.num_classes
+
+
+def test_train_reaches_signal(tiny_cfg):
+    """The fixture task is learnable: accuracy >> chance after a few
+    hundred steps."""
+    cfg = apply_overrides(tiny_cfg, ["train.num_steps=150"])
+    pipeline, state, _ = lisec_tpu.train(cfg, progress=False)
+    metrics = pipeline.evaluate(state, max_batches=3)
+    assert metrics["accuracy"] > 0.5   # chance = 0.25
