@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Driver benchmark entry point: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures end-to-end PointPillars inference (clouds/sec/chip) on the
+KITTI-geometry config with synthetic fixture clouds, on the local TPU
+chip (BASELINE.json:2 driver metrics; north star 10k clouds/s/chip).
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench")
+
+
+def main():
+    from lisec_tpu.config import apply_overrides, load_config
+    from lisec_tpu.bench_lib import run_benchmark
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__),
+                     "configs", "pointpillars_kitti.yaml"))
+    # Fixture data (no real KITTI on this machine); inference geometry,
+    # budgets, and network are the full-size production config.
+    cfg = apply_overrides(cfg, [
+        "data.fixture=true",
+        "data.fixture_size=8",
+        "data.augment.enabled=false",
+        "train.ckpt_dir=",
+    ])
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    result = run_benchmark(cfg, batch_size=batch_size)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

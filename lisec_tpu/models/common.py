@@ -77,7 +77,12 @@ class ConvBNRelu(nn.Module):
 
 
 def masked_max(x: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Max over `axis` counting only masked-true entries (else 0)."""
+    """Max over `axis` of x counting only masked-true entries (else 0).
+
+    x: (..., N, C); mask: (..., N) — `axis` indexes into x and must not
+    be the channel axis.
+    """
+    axis = axis % x.ndim           # normalize so it indexes mask too
     neg = jnp.finfo(x.dtype).min
     m = jnp.expand_dims(mask, -1).astype(bool)
     y = jnp.max(jnp.where(m, x, neg), axis=axis)

@@ -43,6 +43,9 @@ def decode_boxes(deltas: jax.Array, anchors: jax.Array) -> jax.Array:
     """Inverse of :func:`encode_boxes`. Both (..., 7)."""
     xa, ya, za, la, wa, ha, ra = jnp.split(anchors, 7, axis=-1)
     tx, ty, tz, tl, tw, th, tr = jnp.split(deltas, 7, axis=-1)
+    # Clamp size residuals so untrained/garbage logits cannot decode to
+    # inf-sized boxes (exp overflow) downstream in NMS/eval.
+    tl, tw, th = (jnp.clip(t, -10.0, 4.0) for t in (tl, tw, th))
     diag = jnp.sqrt(la * la + wa * wa)
     return jnp.concatenate([
         tx * diag + xa,

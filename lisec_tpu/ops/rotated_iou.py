@@ -1,12 +1,20 @@
 """O10 — rotated BEV IoU (SURVEY.md §2.3 O10).
 
-Reference form: C++/CUDA polygon clipping. TPU-native design: fully
-vectorized Sutherland–Hodgman clipping of one yawed rectangle by the
-four half-planes of another, over a **fixed 8-vertex buffer** (a convex
-quad clipped by a convex quad has at most 8 vertices; each half-plane
-clip adds at most one). No data-dependent shapes: vertex counts are
-carried as scalars and compaction is a cumsum + scatter. Used by target
-assignment (R3), rotated NMS (O11), and KITTI eval (O15).
+Reference form: C++/CUDA polygon clipping. TPU-native design:
+**scatter-free** quad-quad intersection. Sutherland-Hodgman clipping
+with vertex compaction needs data-dependent scatters, which XLA:TPU
+serializes (measured ~1000x slower than the arithmetic). Instead the
+intersection polygon's vertices are *enumerated* directly:
+
+  * corners of A inside B (4), corners of B inside A (4),
+  * the 16 edge-pair intersection points,
+
+masked by validity, ordered by angle around the valid-point centroid
+with ONE batched 24-wide sort (XLA sorts along the minor axis
+vectorized across pairs), and integrated with the shoelace formula over
+the sorted ring. Everything is comparisons, arithmetic, one sort, one
+gather — VPU-friendly, no scatter anywhere. Used by target assignment
+(R3), rotated NMS (O11), and KITTI eval (O15).
 """
 
 from __future__ import annotations
@@ -16,69 +24,88 @@ import jax.numpy as jnp
 
 from lisec_tpu.ops.boxes import boxes_to_corners_bev
 
-_MAX_V = 8
 _EPS = 1e-8
 
 
-def _clip_by_edge(poly, count, p1, p2):
-    """Clip polygon (8,2) with `count` valid CCW vertices by the
-    half-plane left of directed edge p1->p2. Returns (new_poly, new_count).
+def _cross(o, a, b):
+    """2D cross of (a - o) x (b - o) over leading batch dims."""
+    return ((a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1])
+            - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0]))
+
+
+def _corners_inside(pts, quad):
+    """pts (..., 4, 2) inside CCW quad (..., 4, 2) -> (..., 4) bool."""
+    v0 = quad[..., :, None, :]                       # (..., 4edge, 1, 2)
+    v1 = jnp.roll(quad, -1, axis=-2)[..., :, None, :]
+    p = pts[..., None, :, :]                          # (..., 1, 4pt, 2)
+    cr = _cross(v0, v1, p)                            # (..., 4e, 4p)
+    return (cr >= -_EPS).all(axis=-2)                 # (..., 4p)
+
+
+def _edge_intersections(ca, cb):
+    """All 16 segment-segment intersections of quad edges.
+
+    ca, cb: (..., 4, 2). Returns (pts (..., 16, 2), valid (..., 16)).
     """
-    idx = jnp.arange(_MAX_V)
-    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-    v_cur = poly                                  # (8, 2)
-    v_nxt = poly[nxt]                             # (8, 2)
+    p1 = ca[..., :, None, :]                          # (..., 4, 1, 2)
+    p2 = jnp.roll(ca, -1, axis=-2)[..., :, None, :]
+    q1 = cb[..., None, :, :]                          # (..., 1, 4, 2)
+    q2 = jnp.roll(cb, -1, axis=-2)[..., None, :, :]
 
-    edge = p2 - p1
-    def side(v):
-        return edge[0] * (v[..., 1] - p1[1]) - edge[1] * (v[..., 0] - p1[0])
-
-    s_cur = side(v_cur)
-    s_nxt = side(v_nxt)
-    inside_cur = s_cur >= -_EPS
-    inside_nxt = s_nxt >= -_EPS
-
-    active = idx < count
-    emit_cur = active & inside_cur
-    emit_int = active & (inside_cur != inside_nxt)
-
-    # Intersection of segment (v_cur, v_nxt) with the edge line.
-    denom = s_cur - s_nxt
-    t = s_cur / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
-    v_int = v_cur + t[:, None] * (v_nxt - v_cur)
-
-    # Each slot emits [current?, intersection?] in that order; compact
-    # into the output buffer by exclusive prefix sums.
-    n_emit = emit_cur.astype(jnp.int32) + emit_int.astype(jnp.int32)
-    offs = jnp.cumsum(n_emit) - n_emit            # exclusive cumsum
-    pos_cur = jnp.where(emit_cur, offs, _MAX_V)
-    pos_int = jnp.where(emit_int, offs + emit_cur.astype(jnp.int32), _MAX_V)
-
-    out = jnp.zeros((_MAX_V + 1, 2), poly.dtype)
-    out = out.at[pos_cur].set(v_cur, mode="drop")
-    out = out.at[pos_int].set(v_int, mode="drop")
-    return out[:_MAX_V], jnp.sum(n_emit)
+    d1 = p2 - p1
+    d2 = q2 - q1
+    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]  # (...,4,4)
+    dq = q1 - p1
+    t_num = dq[..., 0] * d2[..., 1] - dq[..., 1] * d2[..., 0]
+    u_num = dq[..., 0] * d1[..., 1] - dq[..., 1] * d1[..., 0]
+    safe = jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
+    t = t_num / safe
+    u = u_num / safe
+    valid = ((jnp.abs(denom) >= _EPS)
+             & (t >= -_EPS) & (t <= 1 + _EPS)
+             & (u >= -_EPS) & (u <= 1 + _EPS))
+    pts = p1 + t[..., None] * d1                      # (..., 4, 4, 2)
+    shape = pts.shape[:-3] + (16, 2)
+    return pts.reshape(shape), valid.reshape(shape[:-1])
 
 
-def _poly_area(poly, count):
-    """Shoelace area of the first `count` CCW vertices of (8,2)."""
-    idx = jnp.arange(_MAX_V)
-    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-    v, w = poly, poly[nxt]
-    cross = v[:, 0] * w[:, 1] - v[:, 1] * w[:, 0]
-    cross = jnp.where(idx < count, cross, 0.0)
-    return 0.5 * jnp.abs(jnp.sum(cross))
+def _quad_intersection_area(ca, cb):
+    """Intersection area of CCW quads: ca, cb (..., 4, 2) -> (...,)."""
+    in_ab = _corners_inside(ca, cb)                   # (..., 4)
+    in_ba = _corners_inside(cb, ca)
+    inter_pts, inter_ok = _edge_intersections(ca, cb)
 
+    cand = jnp.concatenate([ca, cb, inter_pts], axis=-2)     # (..., 24, 2)
+    valid = jnp.concatenate([in_ab, in_ba, inter_ok], axis=-1)
 
-def _intersection_area(corners_a, corners_b):
-    """Area of intersection of two CCW quads (4,2) each."""
-    poly = jnp.zeros((_MAX_V, 2), corners_a.dtype).at[:4].set(corners_a)
-    count = jnp.array(4, jnp.int32)
-    for k in range(4):
-        p1 = corners_b[k]
-        p2 = corners_b[(k + 1) % 4]
-        poly, count = _clip_by_edge(poly, count, p1, p2)
-    return jnp.where(count >= 3, _poly_area(poly, count), 0.0)
+    k = jnp.sum(valid, axis=-1)                       # (...,)
+    vf = valid[..., None].astype(cand.dtype)
+    centroid = (jnp.sum(cand * vf, axis=-2)
+                / jnp.maximum(k, 1)[..., None])       # (..., 2)
+
+    rel = cand - centroid[..., None, :]
+    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
+    big = jnp.array(1e9, ang.dtype)
+    key = jnp.where(valid, ang, big)                  # invalid sort last
+    # Multi-operand lax.sort co-sorts coordinates with the key — XLA:TPU
+    # gathers (argsort + take_along_axis) are ~100x slower than the sort
+    # itself, so the ring is produced entirely gather-free.
+    _, rx, ry = jax.lax.sort(
+        (key, cand[..., 0], cand[..., 1]), dimension=-1, num_keys=1)
+
+    # Ring neighbor = static roll by -1, with the wrap at position k-1
+    # pointing back to element 0 — arithmetic select, no dynamic gather.
+    nx_ = jnp.roll(rx, -1, axis=-1)
+    ny_ = jnp.roll(ry, -1, axis=-1)
+    idx = jnp.arange(24)
+    is_last = idx == (k[..., None] - 1)
+    nx_ = jnp.where(is_last, rx[..., :1], nx_)
+    ny_ = jnp.where(is_last, ry[..., :1], ny_)
+
+    cross = rx * ny_ - ry * nx_
+    cross = jnp.where(idx < k[..., None], cross, 0.0)
+    area = 0.5 * jnp.abs(jnp.sum(cross, axis=-1))
+    return jnp.where(k >= 3, area, 0.0)
 
 
 @jax.jit
@@ -88,17 +115,13 @@ def rotated_iou_bev(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
     boxes_a, boxes_b: broadcast-compatible (..., 7). Returns (...,).
     """
     boxes_a, boxes_b = jnp.broadcast_arrays(boxes_a, boxes_b)
-    shape = boxes_a.shape[:-1]
-    a = boxes_a.reshape(-1, 7)
-    b = boxes_b.reshape(-1, 7)
-    ca = boxes_to_corners_bev(a)                  # (P, 4, 2) CCW
-    cb = boxes_to_corners_bev(b)
-    inter = jax.vmap(_intersection_area)(ca, cb)
-    area_a = a[:, 3] * a[:, 4]
-    area_b = b[:, 3] * b[:, 4]
+    ca = boxes_to_corners_bev(boxes_a)                # (..., 4, 2) CCW
+    cb = boxes_to_corners_bev(boxes_b)
+    inter = _quad_intersection_area(ca, cb)
+    area_a = boxes_a[..., 3] * boxes_a[..., 4]
+    area_b = boxes_b[..., 3] * boxes_b[..., 4]
     union = area_a + area_b - inter
-    iou = inter / jnp.maximum(union, _EPS)
-    return iou.reshape(shape)
+    return inter / jnp.maximum(union, _EPS)
 
 
 def rotated_iou_matrix(
@@ -110,14 +133,20 @@ def rotated_iou_matrix(
     """Pairwise rotated BEV IoU: (M, 7) x (N, 7) -> (M, N).
 
     ``row_chunk`` > 0 evaluates the matrix in row blocks via
-    ``lax.map`` to bound peak memory on large M*N.
+    ``lax.map`` to bound peak memory on large M*N (rows are padded up
+    to a chunk multiple internally).
     """
     m = boxes_a.shape[0]
 
     def rows(a_block):
         return rotated_iou_bev(a_block[:, None, :], boxes_b[None, :, :])
 
-    if row_chunk and m > row_chunk and m % row_chunk == 0:
-        blocks = boxes_a.reshape(m // row_chunk, row_chunk, 7)
-        return jax.lax.map(rows, blocks).reshape(m, -1)
+    if row_chunk and m > row_chunk:
+        pad = (-m) % row_chunk
+        padded = jnp.concatenate(
+            [boxes_a, jnp.ones((pad, 7), boxes_a.dtype)]) if pad \
+            else boxes_a
+        blocks = padded.reshape(-1, row_chunk, 7)
+        out = jax.lax.map(rows, blocks).reshape(m + pad, -1)
+        return out[:m]
     return rows(boxes_a)

@@ -1,1 +1,260 @@
-"""Placeholder — filled in a later build stage (SURVEY.md §7)."""
+"""Workload 3/4 — anchor-based 3D detection pipelines
+(SURVEY.md §3.1/§3.2: the north-star path).
+
+The jitted device program is the whole chain: voxelize (O1) -> encoder
+-> backbone -> head -> decode (O9) -> rotated NMS (O11/O10). A padded
+cloud goes in, final boxes/scores/labels come out — exactly one
+host<->device round trip per batch (BASELINE.json:5). Training assigns
+targets on device (R3) and uses the focal/sin-difference/direction loss
+recipe (R2).
+
+``PointPillarsPipeline`` is workload 3; ``SECONDPipeline`` (workload 4)
+subclasses it, swapping the pillar encoder for voxel + sparse 3D conv.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lisec_tpu.config import Config
+from lisec_tpu.data.augment import GTSampler, augment_detection
+from lisec_tpu.data.kitti import KittiDetection
+from lisec_tpu.models.pointpillars import PointPillars
+from lisec_tpu.ops.boxes import decode_boxes
+from lisec_tpu.ops.nms import rotated_nms
+from lisec_tpu.ops.voxelize import voxelize
+from lisec_tpu.pipelines.base import Pipeline
+from lisec_tpu.registry import register_pipeline, register_model
+from lisec_tpu.training.assigner import (
+    DEFAULT_ANCHORS, AnchorConfig, assign_targets, generate_anchors)
+from lisec_tpu.training.losses import (
+    cross_entropy, sigmoid_focal_loss, sin_difference, smooth_l1)
+
+register_model("pointpillars")(PointPillars)
+
+
+@register_pipeline("pointpillars")
+class PointPillarsPipeline(Pipeline):
+    OUTPUT_STRIDE = 2
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        self.class_names = tuple(cfg.data.class_names) or ("Car",)
+        self.num_classes = len(self.class_names)
+        self.grid = cfg.voxel.grid_size                   # (nx, ny, nz)
+        self.fmap = (self.grid[1] // self.OUTPUT_STRIDE,
+                     self.grid[0] // self.OUTPUT_STRIDE)  # (ny, nx)
+        p = cfg.model.params
+
+        anchor_cfgs = []
+        for name in self.class_names:
+            base = DEFAULT_ANCHORS.get(
+                name, DEFAULT_ANCHORS["Car"])
+            over = p.get("anchors", {}).get(name, {})
+            anchor_cfgs.append(AnchorConfig(
+                tuple(over.get("size", base.size)),
+                float(over.get("z_center", base.z_center)),
+                float(over.get("pos_threshold", base.pos_threshold)),
+                float(over.get("neg_threshold", base.neg_threshold))))
+        anchors, acls, pos_t, neg_t = generate_anchors(
+            anchor_cfgs, pc_range=cfg.voxel.point_cloud_range,
+            feature_map_size=self.fmap)
+        self.anchors = jnp.asarray(anchors)
+        self.anchor_classes = jnp.asarray(acls)
+        self.pos_thr = jnp.asarray(pos_t)
+        self.neg_thr = jnp.asarray(neg_t)
+
+        self.model = self.build_model(cfg)
+        self.loss_weights = {
+            "cls": float(p.get("cls_weight", 1.0)),
+            "loc": float(p.get("loc_weight", 2.0)),
+            "dir": float(p.get("dir_weight", 0.2)),
+        }
+        self.nms_iou = float(p.get("nms_iou", 0.5))
+        self.score_thr = float(p.get("score_threshold", 0.1))
+        self.assign_row_chunk = int(p.get("assign_row_chunk", 4096))
+
+    def build_model(self, cfg: Config):
+        p = cfg.model.params
+        return PointPillars(
+            num_classes=self.num_classes,
+            grid_size=self.grid,
+            voxel_size=cfg.voxel.voxel_size[:2],
+            pc_range_min=cfg.voxel.point_cloud_range[:2],
+            num_anchors_per_cell=self.num_classes * 2,
+            pfn_filters=int(p.get("pfn_filters", 64)),
+        )
+
+    # -- data --------------------------------------------------------------
+
+    def make_dataset(self, split: str):
+        return KittiDetection(self.cfg, split)
+
+    def augment_fn(self, split: str):
+        if split != "train" or not self.cfg.data.augment.enabled:
+            return None
+        aug = self.cfg.data.augment
+        sampler = None
+        if aug.gt_sampling:
+            sampler = GTSampler(self.make_dataset("train"))
+        return lambda s, rng: augment_detection(s, rng, aug, sampler)
+
+    def dummy_batch(self) -> Dict[str, np.ndarray]:
+        b = self.cfg.train.batch_size
+        n = self.cfg.budget.max_points
+        m = self.cfg.budget.max_boxes
+        return {
+            "points": np.zeros((b, n, 4), np.float32),
+            "point_mask": np.ones((b, n), bool),
+            "gt_boxes": np.zeros((b, m, 7), np.float32),
+            "gt_classes": np.zeros((b, m), np.int32),
+            "gt_mask": np.zeros((b, m), bool),
+        }
+
+    # -- device program ----------------------------------------------------
+
+    def _voxelize_batch(self, points, point_mask):
+        cfg = self.cfg
+        vox = jax.vmap(lambda p, m: voxelize(
+            p, m,
+            pc_range=cfg.voxel.point_cloud_range,
+            voxel_size=cfg.voxel.voxel_size,
+            grid_size=self.grid,
+            max_voxels=cfg.budget.max_voxels,
+            max_points_per_voxel=cfg.budget.max_points_per_voxel,
+        ))(points, point_mask)
+        return vox
+
+    def _forward(self, params, batch_stats, batch, train, rng=None):
+        vox = self._voxelize_batch(batch["points"], batch["point_mask"])
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(mutable=["batch_stats"]) if train else {}
+        out = self.model.apply(
+            variables, vox.voxels, vox.coords, vox.num_points,
+            vox.num_voxels, train=train, **kwargs)
+        if train:
+            preds, mutated = out
+            return preds, mutated["batch_stats"]
+        return out, batch_stats
+
+    def init_variables(self, rng, batch):
+        vox = self._voxelize_batch(batch["points"], batch["point_mask"])
+        return self.model.init(
+            {"params": rng}, vox.voxels, vox.coords, vox.num_points,
+            vox.num_voxels, train=False)
+
+    # -- training ----------------------------------------------------------
+
+    def loss(self, params, batch_stats, batch, rng, train: bool):
+        preds, new_bs = self._forward(
+            params, batch_stats, batch, train, rng)
+
+        assign = jax.vmap(lambda b, c, m: assign_targets(
+            self.anchors, self.anchor_classes, self.pos_thr, self.neg_thr,
+            b, c, m, row_chunk=self.assign_row_chunk))(
+                batch["gt_boxes"], batch["gt_classes"], batch["gt_mask"])
+
+        pos = assign.positive                              # (B, A)
+        num_pos = jnp.maximum(jnp.sum(pos), 1.0)
+
+        # Classification: focal loss, one-vs-all; bg = all-zero targets.
+        cls_t = assign.cls_targets                         # (B, A)
+        onehot = jax.nn.one_hot(cls_t - 1, self.num_classes,
+                                dtype=preds["cls"].dtype)
+        onehot = jnp.where((cls_t > 0)[..., None], onehot, 0.0)
+        focal = sigmoid_focal_loss(preds["cls"], onehot)
+        valid = (cls_t >= 0)[..., None]
+        cls_loss = jnp.sum(jnp.where(valid, focal, 0.0)) / num_pos
+
+        # Localization: smooth-L1 on encoded residuals with sin-diff.
+        pred_box, target_box = sin_difference(
+            preds["box"], assign.reg_targets)
+        loc = smooth_l1(pred_box, target_box)
+        loc_loss = jnp.sum(
+            jnp.where(pos[..., None], loc, 0.0)) / num_pos
+
+        # Direction classifier on positives.
+        dir_ce = cross_entropy(
+            preds["dir"].reshape(-1, 2),
+            jnp.where(pos, assign.dir_targets, -1).reshape(-1))
+
+        w = self.loss_weights
+        total = (w["cls"] * cls_loss + w["loc"] * loc_loss
+                 + w["dir"] * dir_ce)
+        aux = {
+            "cls_loss": cls_loss,
+            "loc_loss": loc_loss,
+            "dir_loss": dir_ce,
+            "num_pos": jnp.sum(pos) / pos.shape[0],
+        }
+        return total, (aux, new_bs)
+
+    # -- inference ---------------------------------------------------------
+
+    def predict(self, params, batch_stats, batch):
+        preds, _ = self._forward(params, batch_stats, batch, train=False)
+        boxes = decode_boxes(preds["box"], self.anchors[None])  # (B,A,7)
+
+        # Resolve yaw with the direction bin: mod(yaw, pi) selects the
+        # in-half angle, the bin picks the half (assigner convention).
+        dir_bin = jnp.argmax(preds["dir"], axis=-1)             # (B,A)
+        yaw = jnp.mod(boxes[..., 6], jnp.pi)
+        yaw = jnp.where(dir_bin == 1, yaw, yaw - jnp.pi)
+        boxes = jnp.concatenate([boxes[..., :6], yaw[..., None]], -1)
+
+        scores_all = jax.nn.sigmoid(preds["cls"])               # (B,A,C)
+        scores = jnp.max(scores_all, axis=-1)
+        labels = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
+
+        nms = jax.vmap(lambda b, s, l: rotated_nms(
+            b, s, l,
+            iou_threshold=self.nms_iou,
+            score_threshold=self.score_thr,
+            nms_pre=self.cfg.budget.nms_pre,
+            nms_post=self.cfg.budget.nms_post,
+            row_chunk=min(self.cfg.budget.nms_pre, 256),
+        ))(boxes, scores, labels)
+        return {
+            "boxes": nms.boxes,
+            "scores": nms.scores,
+            "labels": nms.labels,
+            "valid": nms.valid,
+        }
+
+    # -- eval --------------------------------------------------------------
+
+    def evaluate(self, state, max_batches: int = 0) -> Dict[str, float]:
+        """Light eval: recall of gt boxes at BEV IoU >= 0.5 plus mean
+        detection count (full KITTI AP is O15 / eval.kitti_ap)."""
+        from lisec_tpu.data.collate import make_batches
+        from lisec_tpu.eval.detection import match_frame
+
+        ds = self.make_dataset("val")
+        total_gt, hit_gt, num_det = 0, 0, 0
+        n = 0
+        for batch in make_batches(
+                ds, self.cfg.budget, self.cfg.train.batch_size,
+                shuffle=False, epochs=1):
+            out = jax.device_get(self.infer(state, batch))
+            for i in range(len(batch["points"])):
+                stats = match_frame(
+                    out["boxes"][i][out["valid"][i]],
+                    out["labels"][i][out["valid"][i]],
+                    batch["gt_boxes"][i][batch["gt_mask"][i]],
+                    batch["gt_classes"][i][batch["gt_mask"][i]],
+                    iou_threshold=0.5)
+                total_gt += stats["num_gt"]
+                hit_gt += stats["num_hit"]
+                num_det += stats["num_det"]
+            n += 1
+            if max_batches and n >= max_batches:
+                break
+        return {
+            "recall@0.5": hit_gt / max(total_gt, 1),
+            "mean_detections": num_det / max(n * self.cfg.train.batch_size, 1),
+        }

@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: recompiles across pytest runs dominate
+# wall time on this 1-core host; cache hits make reruns fast.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_pytest")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

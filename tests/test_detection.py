@@ -1,0 +1,83 @@
+"""Stage-3/4 integration: PointPillars pipeline — assigner sanity,
+one train step, full jitted infer (voxelize -> ... -> NMS), and a short
+learnability run (SURVEY.md §7 stages 3-4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import lisec_tpu
+from lisec_tpu.config import apply_overrides, load_config
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return load_config("configs/pointpillars_tiny.yaml")
+
+
+@pytest.fixture(scope="module")
+def pipeline(cfg):
+    return lisec_tpu.build_model(cfg)
+
+
+class TestAssigner:
+    def test_perfect_anchor_is_positive(self, pipeline):
+        from lisec_tpu.training.assigner import assign_targets
+        anchors = pipeline.anchors
+        # Use an actual anchor as the gt box -> IoU 1 -> positive.
+        gt = np.zeros((4, 7), np.float32)
+        gt[0] = np.asarray(anchors[137])
+        gt_cls = np.zeros(4, np.int32)
+        gt_mask = np.zeros(4, bool)
+        gt_mask[0] = True
+        res = assign_targets(
+            anchors, pipeline.anchor_classes, pipeline.pos_thr,
+            pipeline.neg_thr, jnp.asarray(gt), jnp.asarray(gt_cls),
+            jnp.asarray(gt_mask))
+        assert bool(res.positive[137])
+        assert int(res.cls_targets[137]) == 1
+        np.testing.assert_allclose(
+            np.asarray(res.reg_targets[137]), 0.0, atol=1e-5)
+        # Far-away anchors are background, not ignore.
+        assert int(res.cls_targets[0]) == 0
+
+    def test_empty_frame_all_background(self, pipeline):
+        from lisec_tpu.training.assigner import assign_targets
+        gt = np.zeros((4, 7), np.float32)
+        res = assign_targets(
+            pipeline.anchors, pipeline.anchor_classes, pipeline.pos_thr,
+            pipeline.neg_thr, jnp.asarray(gt),
+            jnp.zeros(4, jnp.int32), jnp.zeros(4, bool))
+        assert not bool(res.positive.any())
+        assert bool((res.cls_targets == 0).all())
+
+
+class TestPointPillars:
+    def test_train_step_and_infer(self, cfg, pipeline):
+        state = pipeline.init_state(0)
+        ds = pipeline.make_dataset("train")
+        from lisec_tpu.data.collate import make_batches
+        batch = next(make_batches(ds, cfg.budget, cfg.train.batch_size,
+                                  shuffle=False))
+        rng = jax.random.PRNGKey(0)
+        state, aux = pipeline.train_step(state, batch, rng)
+        assert np.isfinite(float(aux["loss"]))
+        assert float(aux["num_pos"]) > 0   # fixture scenes have objects
+
+        out = pipeline.infer(state, batch)
+        b = cfg.train.batch_size
+        assert out["boxes"].shape == (b, cfg.budget.nms_post, 7)
+        assert out["scores"].shape == (b, cfg.budget.nms_post)
+        assert out["labels"].shape == (b, cfg.budget.nms_post)
+
+    def test_short_training_improves_recall(self, cfg):
+        cfg = apply_overrides(cfg, ["train.num_steps=60",
+                                    "data.fixture_size=16"])
+        pipeline, state, history = lisec_tpu.train(cfg, progress=False)
+        losses = [h["loss"] for h in history if "loss" in h]
+        assert losses[-1] < losses[0]
+        metrics = pipeline.evaluate(state, max_batches=2)
+        assert metrics["mean_detections"] >= 0  # smoke: eval runs
