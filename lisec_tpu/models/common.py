@@ -54,25 +54,32 @@ class MLPHead(nn.Module):
 
 
 class ConvBNRelu(nn.Module):
-    """2D conv + BN + ReLU for BEV / range-image backbones (NHWC)."""
+    """2D conv + BN + ReLU for BEV / range-image backbones (NHWC).
+
+    ``dtype`` is the compute dtype (bfloat16 keeps the convs on the
+    MXU's fast path; params stay float32).
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     transpose: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.transpose:
             x = nn.ConvTranspose(
                 self.features, (self.kernel, self.kernel),
-                strides=(self.stride, self.stride), use_bias=False)(x)
+                strides=(self.stride, self.stride), use_bias=False,
+                dtype=self.dtype)(x)
         else:
             x = nn.Conv(
                 self.features, (self.kernel, self.kernel),
-                strides=(self.stride, self.stride), use_bias=False)(x)
+                strides=(self.stride, self.stride), use_bias=False,
+                dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3)(x)
+                         epsilon=1e-3, dtype=self.dtype)(x)
         return nn.relu(x)
 
 

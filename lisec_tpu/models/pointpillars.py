@@ -33,6 +33,7 @@ class PillarFeatureNet(nn.Module):
     num_filters: int = 64
     voxel_size: Tuple[float, float] = (0.16, 0.16)
     pc_range_min: Tuple[float, float] = (0.0, -39.68)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, voxels, coords, num_points, train: bool = False):
@@ -57,9 +58,10 @@ class PillarFeatureNet(nn.Module):
         feats = jnp.concatenate([voxels, f_cluster, f_center], -1)
         feats = feats * fmask                                   # (...,P,K,9)
 
-        h = nn.Dense(self.num_filters, use_bias=False)(feats)
+        h = nn.Dense(self.num_filters, use_bias=False,
+                     dtype=self.dtype)(feats.astype(self.dtype))
         h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3)(h)
+                         epsilon=1e-3, dtype=self.dtype)(h)
         h = nn.relu(h)
         neg = jnp.finfo(h.dtype).min
         h = jnp.max(jnp.where(mask[..., None], h, neg), axis=-2)
@@ -74,6 +76,7 @@ class BEVBackbone(nn.Module):
     filters: Sequence[int] = (64, 128, 256)
     up_strides: Sequence[int] = (1, 2, 4)
     up_filters: Sequence[int] = (128, 128, 128)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -81,15 +84,15 @@ class BEVBackbone(nn.Module):
         ups = []
         for i, (n, s, f) in enumerate(
                 zip(self.layer_nums, self.strides, self.filters)):
-            x = ConvBNRelu(f, kernel=3, stride=s)(x, train)
+            x = ConvBNRelu(f, kernel=3, stride=s, dtype=self.dtype)(x, train)
             for _ in range(n):
-                x = ConvBNRelu(f, kernel=3)(x, train)
+                x = ConvBNRelu(f, kernel=3, dtype=self.dtype)(x, train)
             u = self.up_strides[i]
             if u > 1:
                 y = ConvBNRelu(self.up_filters[i], kernel=u, stride=u,
-                               transpose=True)(x, train)
+                               transpose=True, dtype=self.dtype)(x, train)
             else:
-                y = ConvBNRelu(self.up_filters[i], kernel=3)(x, train)
+                y = ConvBNRelu(self.up_filters[i], kernel=3, dtype=self.dtype)(x, train)
             ups.append(y)
         return jnp.concatenate(ups, axis=-1)
 
@@ -103,18 +106,21 @@ class AnchorHead(nn.Module):
 
     num_classes: int
     num_anchors_per_cell: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         a = self.num_anchors_per_cell
-        cls = nn.Conv(a * self.num_classes, (1, 1))(x)
-        box = nn.Conv(a * 7, (1, 1))(x)
-        direction = nn.Conv(a * 2, (1, 1))(x)
+        cls = nn.Conv(a * self.num_classes, (1, 1), dtype=self.dtype)(x)
+        box = nn.Conv(a * 7, (1, 1), dtype=self.dtype)(x)
+        direction = nn.Conv(a * 2, (1, 1), dtype=self.dtype)(x)
         b, h, w, _ = x.shape
+        # Heads return float32: decode / losses / NMS stay full precision.
         return {
-            "cls": cls.reshape(b, h * w * a, self.num_classes),
-            "box": box.reshape(b, h * w * a, 7),
-            "dir": direction.reshape(b, h * w * a, 2),
+            "cls": cls.reshape(b, h * w * a, self.num_classes).astype(
+                jnp.float32),
+            "box": box.reshape(b, h * w * a, 7).astype(jnp.float32),
+            "dir": direction.reshape(b, h * w * a, 2).astype(jnp.float32),
         }
 
 
@@ -131,6 +137,7 @@ class PointPillars(nn.Module):
     pc_range_min: Tuple[float, float]
     num_anchors_per_cell: int
     pfn_filters: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, voxels, coords, num_points, num_voxels,
@@ -139,14 +146,14 @@ class PointPillars(nn.Module):
         num_voxels (B,)."""
         nx, ny, _ = self.grid_size
         feats = PillarFeatureNet(
-            self.pfn_filters, self.voxel_size, self.pc_range_min)(
-                voxels, coords, num_points, train)               # (B,P,C)
+            self.pfn_filters, self.voxel_size, self.pc_range_min,
+            dtype=self.dtype)(voxels, coords, num_points, train)  # (B,P,C)
 
         canvas = jax.vmap(
             lambda f, c, n: pillar_scatter(f, c, n, ny=ny, nx=nx)
         )(feats, coords, num_voxels)                             # (B,C,H,W)
         canvas = canvas.transpose(0, 2, 3, 1)                    # NHWC
 
-        bev = BEVBackbone()(canvas, train)
-        return AnchorHead(self.num_classes,
-                          self.num_anchors_per_cell)(bev)
+        bev = BEVBackbone(dtype=self.dtype)(canvas, train)
+        return AnchorHead(self.num_classes, self.num_anchors_per_cell,
+                          dtype=self.dtype)(bev)

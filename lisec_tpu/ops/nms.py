@@ -1,11 +1,15 @@
 """O11 — rotated NMS, fully on device (SURVEY.md §2.3 O11).
 
 Reference form: CUDA bitmask NMS with host-side thresholding. TPU-native
-design: fixed-size greedy suppression — top-k pre-select (``nms_pre``),
-pairwise rotated-IoU matrix computed once, then a ``fori_loop`` over the
-k score-sorted boxes updating a keep mask. Everything static-shape, so
-the whole detector (decode + NMS) stays inside one jitted program and
-the cloud makes a single host<->device round trip (BASELINE.json:5).
+design: fixed-size greedy suppression with **lazy row-wise IoU** — each
+round picks the highest-scoring survivor and suppresses its overlaps,
+computing only that box's IoU row (O10, scatter-free). Exactly greedy
+NMS semantics truncated to ``nms_post`` emissions, but it evaluates
+``nms_post x nms_pre`` IoU pairs instead of the full ``nms_pre^2``
+matrix (8x fewer at the default budgets; sequential loop rounds are
+~free on TPU, the pair arithmetic is what costs). Everything is
+static-shape inside the one jitted inference program, so a cloud makes
+a single host<->device round trip (BASELINE.json:5).
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from lisec_tpu.ops.rotated_iou import rotated_iou_matrix
+from lisec_tpu.ops.rotated_iou import rotated_iou_bev
 
 
 class NMSResult(NamedTuple):
@@ -26,7 +30,7 @@ class NMSResult(NamedTuple):
     valid: jax.Array      # (nms_post,) bool
 
 
-@partial(jax.jit, static_argnames=("nms_pre", "nms_post", "row_chunk"))
+@partial(jax.jit, static_argnames=("nms_pre", "nms_post"))
 def rotated_nms(
     boxes: jax.Array,
     scores: jax.Array,
@@ -36,41 +40,44 @@ def rotated_nms(
     score_threshold: float = 0.0,
     nms_pre: int = 1024,
     nms_post: int = 128,
-    row_chunk: int = 128,
 ) -> NMSResult:
     """Greedy class-aware rotated NMS over one cloud's detections.
 
     boxes: (A, 7); scores: (A,); labels: (A,) int32. Boxes of different
-    classes never suppress each other (IoU is masked by label equality).
+    classes never suppress each other. Emits up to ``nms_post`` boxes in
+    descending score order.
     """
-    # Top-k preselect by score (static k).
+    neg_inf = jnp.array(-jnp.inf, scores.dtype)
+    nms_pre = min(nms_pre, scores.shape[0])
+
+    # Static top-k preselect by score.
     top_scores, order = jax.lax.top_k(scores, nms_pre)
     top_boxes = boxes[order]
     top_labels = labels[order]
     alive = top_scores > score_threshold
 
-    iou = rotated_iou_matrix(top_boxes, top_boxes, row_chunk=row_chunk)
-    same_class = top_labels[:, None] == top_labels[None, :]
-    suppress = (iou > iou_threshold) & same_class
+    def body(j, state):
+        alive, out_idx, out_valid = state
+        masked = jnp.where(alive, top_scores, neg_inf)
+        i = jnp.argmax(masked).astype(jnp.int32)
+        ok = masked[i] > score_threshold
 
-    def body(i, keep):
-        kept_i = keep[i]
-        # Suppress all later boxes overlapping box i (if i survives).
-        later = jnp.arange(nms_pre) > i
-        kill = suppress[i] & later & kept_i
-        return keep & ~kill
+        # IoU of the winner against every candidate (one lazy row).
+        row = rotated_iou_bev(top_boxes[i][None, :], top_boxes)
+        kill = (row > iou_threshold) & (top_labels == top_labels[i])
+        kill = kill | (jnp.arange(nms_pre) == i)     # retire the winner
+        alive = alive & ~(kill & ok)
+        # If nothing is alive, stop emitting (slots stay invalid).
+        out_idx = out_idx.at[j].set(jnp.where(ok, i, 0))
+        out_valid = out_valid.at[j].set(ok)
+        return alive, out_idx, out_valid
 
-    keep = jax.lax.fori_loop(0, nms_pre, body, alive)
+    out_idx = jnp.zeros((nms_post,), jnp.int32)
+    out_valid = jnp.zeros((nms_post,), bool)
+    _, out_idx, out_valid = jax.lax.fori_loop(
+        0, nms_post, body, (alive, out_idx, out_valid))
 
-    # Compact kept boxes to the front, score order preserved.
-    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    slot = jnp.where(keep & (rank < nms_post), rank, nms_post)
-    out_boxes = jnp.zeros((nms_post + 1, 7), boxes.dtype).at[slot].set(
-        top_boxes, mode="drop")[:nms_post]
-    out_scores = jnp.zeros((nms_post + 1,), scores.dtype).at[slot].set(
-        top_scores, mode="drop")[:nms_post]
-    out_labels = jnp.full((nms_post + 1,), -1, jnp.int32).at[slot].set(
-        top_labels, mode="drop")[:nms_post]
-    out_valid = jnp.zeros((nms_post + 1,), bool).at[slot].set(
-        keep, mode="drop")[:nms_post]
-    return NMSResult(out_boxes, out_scores, out_labels, out_valid)
+    vb = jnp.where(out_valid[:, None], top_boxes[out_idx], 0.0)
+    vs = jnp.where(out_valid, top_scores[out_idx], 0.0)
+    vl = jnp.where(out_valid, top_labels[out_idx], -1)
+    return NMSResult(vb, vs, vl.astype(jnp.int32), out_valid)

@@ -25,6 +25,7 @@ from lisec_tpu.config import Config
 from lisec_tpu.data.augment import GTSampler, augment_detection
 from lisec_tpu.data.kitti import KittiDetection
 from lisec_tpu.models.pointpillars import PointPillars
+from lisec_tpu.models.second import SECONDNet
 from lisec_tpu.ops.boxes import decode_boxes
 from lisec_tpu.ops.nms import rotated_nms
 from lisec_tpu.ops.voxelize import voxelize
@@ -88,6 +89,7 @@ class PointPillarsPipeline(Pipeline):
             pc_range_min=cfg.voxel.point_cloud_range[:2],
             num_anchors_per_cell=self.num_classes * 2,
             pfn_filters=int(p.get("pfn_filters", 64)),
+            dtype=jnp.dtype(p.get("dtype", "float32")),
         )
 
     # -- data --------------------------------------------------------------
@@ -217,7 +219,6 @@ class PointPillarsPipeline(Pipeline):
             score_threshold=self.score_thr,
             nms_pre=self.cfg.budget.nms_pre,
             nms_post=self.cfg.budget.nms_post,
-            row_chunk=min(self.cfg.budget.nms_pre, 256),
         ))(boxes, scores, labels)
         return {
             "boxes": nms.boxes,
@@ -258,3 +259,40 @@ class PointPillarsPipeline(Pipeline):
             "recall@0.5": hit_gt / max(total_gt, 1),
             "mean_detections": num_det / max(n * self.cfg.train.batch_size, 1),
         }
+
+
+register_model("second")(SECONDNet)
+
+
+@register_pipeline("second")
+class SECONDPipeline(PointPillarsPipeline):
+    """Workload 4 — SECOND-style sparse-voxel detector (SURVEY.md M4).
+
+    Same device program shape as PointPillars (voxelize -> encoder ->
+    BEV RPN -> decode -> NMS) with the pillar encoder replaced by
+    mean-VFE + the sparse 3D middle encoder (O7/O8). The anchor map
+    sits on the 8x-downsampled BEV grid.
+    """
+
+    OUTPUT_STRIDE = 8
+
+    def build_model(self, cfg: Config):
+        p = cfg.model.params
+        budgets = tuple(p.get(
+            "level_budgets",
+            [cfg.budget.max_voxels, cfg.budget.max_voxels // 2,
+             cfg.budget.max_voxels // 4, cfg.budget.max_voxels // 8]))
+        return SECONDNet(
+            num_classes=self.num_classes,
+            grid_size=self.grid,
+            num_anchors_per_cell=self.num_classes * 2,
+            level_budgets=budgets,
+            encoder_channels=tuple(p.get("encoder_channels",
+                                         [16, 32, 64, 64])),
+            bev_layers=tuple(p.get("bev_layers", [5, 5])),
+            bev_filters=tuple(p.get("bev_filters", [128, 256])),
+            bev_strides=tuple(p.get("bev_strides", [1, 2])),
+            bev_up_strides=tuple(p.get("bev_up_strides", [1, 2])),
+            bev_up_filters=tuple(p.get("bev_up_filters", [256, 256])),
+            dtype=jnp.dtype(p.get("dtype", "float32")),
+        )

@@ -220,8 +220,7 @@ class TestNMS:
         labels = rng.integers(0, 3, n).astype(np.int32)
         res = ops.rotated_nms(
             jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
-            iou_threshold=0.3, score_threshold=0.1, nms_pre=64, nms_post=32,
-            row_chunk=32)
+            iou_threshold=0.3, score_threshold=0.1, nms_pre=64, nms_post=32)
         want_keep = ops_np.nms_np(boxes, scores, labels, 0.3, 0.1)
         got_valid = np.asarray(res.valid)
         got_scores = np.asarray(res.scores)[got_valid]
@@ -235,7 +234,7 @@ class TestNMS:
         scores = jnp.asarray([0.9, 0.8, 0.7])
         labels = jnp.zeros(3, jnp.int32)
         res = ops.rotated_nms(boxes, scores, labels, iou_threshold=0.5,
-                              nms_pre=3, nms_post=3, row_chunk=3)
+                              nms_pre=3, nms_post=3)
         assert int(np.asarray(res.valid).sum()) == 1
         assert float(res.scores[0]) == pytest.approx(0.9)
 
