@@ -4,7 +4,15 @@ Measures the driver metrics (BASELINE.json:2) on the local chip:
   * clouds/sec/chip — end-to-end PointPillars-style inference
     (host->device transfer, voxelize, network, decode, NMS,
     device->host boxes), steady state, batch amortized;
+  * device-resident clouds/sec — same program with inputs already in
+    HBM (what a co-located host sees; this box reaches the chip through
+    a tunnel whose transfer cost is environmental, not architectural);
   * voxelization GB/s — bytes of point data binned per second (O1).
+
+Timing methodology: this backend's ``block_until_ready`` does not
+actually block (axon tunnel), so every measured program is reduced to a
+scalar ON DEVICE and synced with ``float()`` — compute is fully fenced
+while only 4 bytes cross the tunnel.
 
 North star: >= 10k KITTI clouds/sec/chip on v5e (BASELINE.json:5);
 ``vs_baseline`` reports the ratio against that target.
@@ -16,6 +24,7 @@ import time
 from typing import Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from lisec_tpu.config import Config
@@ -33,65 +42,77 @@ def _fixture_batch(cfg: Config, batch_size: int, seed: int = 0):
 
 
 def bench_inference(cfg: Config, *, batch_size: int = 8,
-                    warmup: int = 3, iters: int = 20) -> Dict[str, float]:
-    """End-to-end inference throughput on the current default device."""
+                    warmup: int = 2, iters: int = 20) -> Dict[str, float]:
+    """Inference throughput: end-to-end and device-resident."""
     from lisec_tpu.api import build_model
 
     pipeline = build_model(cfg)
     state = pipeline.init_state(cfg.train.seed)
     batch = _fixture_batch(cfg, batch_size)
-    infer_batch = {"points": batch["points"],
-                   "point_mask": batch["point_mask"]}
+    points_np = batch["points"]
+    mask_np = batch["point_mask"]
 
+    # End-to-end: host numpy in, boxes out (includes tunnel transfers).
+    infer_batch = {"points": points_np, "point_mask": mask_np}
     for _ in range(warmup):
         out = pipeline.infer(state, infer_batch)
-    jax.block_until_ready(out)
-
+    np.asarray(out["boxes"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        # Includes host->device transfer each iteration: the metric is
-        # end-to-end per cloud, not device-only.
         out = pipeline.infer(state, infer_batch)
         np.asarray(out["boxes"])          # device->host sync
-    dt = time.perf_counter() - t0
-    clouds_per_sec = batch_size * iters / dt
+    dt_e2e = (time.perf_counter() - t0) / iters
+
+    # Device-resident: inputs pre-staged in HBM, scalar-reduced output.
+    pts = jnp.asarray(points_np)
+    mask = jnp.asarray(mask_np)
+    fn = jax.jit(lambda p, m: jnp.sum(pipeline.predict(
+        state.params, state.batch_stats,
+        {"points": p, "point_mask": m})["boxes"]))
+    for _ in range(warmup):
+        float(fn(pts, mask))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(fn(pts, mask))
+    dt_dev = (time.perf_counter() - t0) / iters
+
     return {
-        "clouds_per_sec": clouds_per_sec,
-        "latency_ms_per_batch": 1e3 * dt / iters,
+        "clouds_per_sec": batch_size / dt_e2e,
+        "device_clouds_per_sec": batch_size / dt_dev,
+        "latency_ms_per_batch": 1e3 * dt_e2e,
+        "device_latency_ms_per_batch": 1e3 * dt_dev,
         "batch_size": batch_size,
     }
 
 
 def bench_voxelize(cfg: Config, *, batch_size: int = 8,
-                   warmup: int = 3, iters: int = 30) -> Dict[str, float]:
+                   warmup: int = 2, iters: int = 20) -> Dict[str, float]:
     """Voxelization throughput in GB/s of point bytes processed."""
-    import jax.numpy as jnp
     from lisec_tpu.ops.voxelize import voxelize
 
     batch = _fixture_batch(cfg, batch_size)
     points = jnp.asarray(batch["points"])
     mask = jnp.asarray(batch["point_mask"])
 
-    vox_fn = jax.jit(jax.vmap(lambda p, m: voxelize(
-        p, m,
+    vox_fn = jax.jit(lambda p, m: jnp.sum(jax.vmap(lambda pp, mm: voxelize(
+        pp, mm,
         pc_range=cfg.voxel.point_cloud_range,
         voxel_size=cfg.voxel.voxel_size,
         grid_size=cfg.voxel.grid_size,
         max_voxels=cfg.budget.max_voxels,
-        max_points_per_voxel=cfg.budget.max_points_per_voxel)))
+        max_points_per_voxel=cfg.budget.max_points_per_voxel,
+    ).voxels)(p, m)))
 
     for _ in range(warmup):
-        out = vox_fn(points, mask)
-    jax.block_until_ready(out)
+        float(vox_fn(points, mask))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = vox_fn(points, mask)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        float(vox_fn(points, mask))
+    dt = (time.perf_counter() - t0) / iters
     nbytes = points.size * points.dtype.itemsize
     return {
-        "voxelize_gb_per_sec": nbytes * iters / dt / 1e9,
-        "voxelize_us_per_cloud": 1e6 * dt / (iters * batch_size),
+        "voxelize_gb_per_sec": nbytes / dt / 1e9,
+        "voxelize_us_per_cloud": 1e6 * dt / batch_size,
     }
 
 
@@ -104,6 +125,7 @@ def run_benchmark(cfg: Config, *, batch_size: int = 8) -> Dict:
         "value": round(value, 2),
         "unit": "clouds/s",
         "vs_baseline": round(value / NORTH_STAR_CLOUDS_PER_SEC, 4),
-        "detail": {**inf, **vox,
+        "detail": {**{k: round(v, 3) for k, v in inf.items()},
+                   **{k: round(v, 3) for k, v in vox.items()},
                    "device": str(jax.devices()[0]).strip()},
     }

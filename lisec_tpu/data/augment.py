@@ -13,6 +13,8 @@ from typing import Dict, List
 
 import numpy as np
 
+from lisec_tpu import native
+
 
 def _rot_z(yaw: float) -> np.ndarray:
     c, s = np.cos(yaw), np.sin(yaw)
@@ -114,48 +116,40 @@ def augment_detection(sample: Dict, rng: np.random.Generator, aug,
     pts = out["points"].copy()
     boxes = out["gt_boxes"].copy()
 
-    # Per-box noise: rotate/translate each gt box and its points.
+    # Per-box noise: rotate/translate each gt box and its points
+    # (native kernel: one membership pass + one perturb pass).
     if (aug.box_noise_rot > 0 or aug.box_noise_trans > 0) and len(boxes):
-        for bi in range(len(boxes)):
-            m = _points_in_box_np(pts, boxes[bi])
-            rot = rng.uniform(-aug.box_noise_rot, aug.box_noise_rot)
-            trans = rng.normal(0, aug.box_noise_trans, 3).astype(np.float32)
-            center = boxes[bi, :3].copy()
-            local = pts[m, :3] - center
-            pts[m, :3] = local @ _rot_z(rot).T + center + trans
-            boxes[bi, :3] += trans
-            boxes[bi, 6] += rot
+        member = native.points_in_rbbox_first(pts, boxes)
+        dyaw = rng.uniform(-aug.box_noise_rot, aug.box_noise_rot,
+                           len(boxes)).astype(np.float32)
+        dtrans = rng.normal(0, aug.box_noise_trans,
+                            (len(boxes), 3)).astype(np.float32)
+        native.perturb_boxes(pts, member, boxes[:, :3].copy(), dyaw,
+                             dtrans)
+        boxes[:, :3] += dtrans
+        boxes[:, 6] += dyaw
 
     # Global flip over y (x stays, y negates, yaw negates).
     if aug.global_flip_y and rng.uniform() < 0.5:
-        pts[:, 1] = -pts[:, 1]
+        native.flip_y(pts)
         if len(boxes):
             boxes[:, 1] = -boxes[:, 1]
             boxes[:, 6] = -boxes[:, 6]
 
-    # Global rotation about z.
-    if aug.global_rotate > 0:
-        yaw = rng.uniform(-aug.global_rotate, aug.global_rotate)
-        rot = _rot_z(yaw)
-        pts[:, :3] = pts[:, :3] @ rot.T
-        if len(boxes):
-            boxes[:, :3] = boxes[:, :3] @ rot.T
-            boxes[:, 6] += yaw
-
-    # Global scale.
+    # Global rotate/scale/translate as ONE fused native transform.
+    yaw = rng.uniform(-aug.global_rotate, aug.global_rotate) \
+        if aug.global_rotate > 0 else 0.0
     lo, hi = aug.scale_range
-    if hi > lo:
-        s = rng.uniform(lo, hi)
-        pts[:, :3] *= s
+    s = rng.uniform(lo, hi) if hi > lo else 1.0
+    t = rng.normal(0, aug.global_translate_std, 3).astype(np.float32) \
+        if aug.global_translate_std > 0 else np.zeros(3, np.float32)
+    if yaw != 0.0 or s != 1.0 or t.any():
+        rot = _rot_z(yaw)
+        native.transform_cloud(pts, rot, s, t)
         if len(boxes):
-            boxes[:, :6] *= s
-
-    # Global translate.
-    if aug.global_translate_std > 0:
-        t = rng.normal(0, aug.global_translate_std, 3).astype(np.float32)
-        pts[:, :3] += t
-        if len(boxes):
-            boxes[:, :3] += t
+            boxes[:, :3] = boxes[:, :3] @ rot.T * s + t
+            boxes[:, 3:6] *= s
+            boxes[:, 6] += yaw
 
     if len(boxes):
         boxes[:, 6] = (boxes[:, 6] + np.pi) % (2 * np.pi) - np.pi

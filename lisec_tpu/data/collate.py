@@ -8,19 +8,18 @@ deterministically (lowest indices kept).
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Iterable, Iterator, List
 
 import numpy as np
 
+from lisec_tpu import native
+
 
 def pad_points(cloud: np.ndarray, max_points: int) -> Dict[str, np.ndarray]:
     """Pad/truncate one (N, C) cloud to (max_points, C) + mask."""
-    n = min(len(cloud), max_points)
-    c = cloud.shape[1]
-    points = np.zeros((max_points, c), np.float32)
-    points[:n] = cloud[:n]
-    mask = np.zeros((max_points,), bool)
-    mask[:n] = True
+    points, mask = native.pad_points(cloud, max_points)
     return {"points": points, "point_mask": mask}
 
 
@@ -82,12 +81,18 @@ def make_batches(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield fixed-shape batches from an indexable dataset forever (or
     for `epochs` epochs)."""
+    if len(dataset) == 0:
+        raise ValueError("make_batches: empty dataset")
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
         order = np.arange(len(dataset))
         if shuffle:
             rng.shuffle(order)
+        if len(order) < batch_size:
+            # Tiny (fixture) datasets: tile up so one batch always
+            # exists rather than silently yielding nothing.
+            order = np.tile(order, -(-batch_size // len(order)))
         for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
                        batch_size):
             idx = order[i:i + batch_size]
@@ -101,3 +106,25 @@ def make_batches(
                 samples.append(pad_to_budget(s, budget))
             yield collate(samples)
         epoch += 1
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run `iterator` in a background thread with a bounded queue so
+    host-side collation/augmentation overlaps device compute (P3)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -104,7 +104,8 @@ def boxes_camera_to_lidar(objs: List[KittiObject],
 
 
 def read_velodyne(path: str) -> np.ndarray:
-    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    from lisec_tpu import native
+    return native.read_velodyne(path)
 
 
 def get_label_objects(path: str) -> List[KittiObject]:

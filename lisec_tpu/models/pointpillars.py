@@ -137,6 +137,11 @@ class PointPillars(nn.Module):
     pc_range_min: Tuple[float, float]
     num_anchors_per_cell: int
     pfn_filters: int = 64
+    backbone_layers: Sequence[int] = (3, 5, 5)
+    backbone_filters: Sequence[int] = (64, 128, 256)
+    backbone_strides: Sequence[int] = (2, 2, 2)
+    backbone_up_strides: Sequence[int] = (1, 2, 4)
+    backbone_up_filters: Sequence[int] = (128, 128, 128)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -154,6 +159,12 @@ class PointPillars(nn.Module):
         )(feats, coords, num_voxels)                             # (B,C,H,W)
         canvas = canvas.transpose(0, 2, 3, 1)                    # NHWC
 
-        bev = BEVBackbone(dtype=self.dtype)(canvas, train)
+        bev = BEVBackbone(
+            layer_nums=tuple(self.backbone_layers),
+            strides=tuple(self.backbone_strides),
+            filters=tuple(self.backbone_filters),
+            up_strides=tuple(self.backbone_up_strides),
+            up_filters=tuple(self.backbone_up_filters),
+            dtype=self.dtype)(canvas, train)
         return AnchorHead(self.num_classes, self.num_anchors_per_cell,
                           dtype=self.dtype)(bev)

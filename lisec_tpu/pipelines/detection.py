@@ -89,6 +89,14 @@ class PointPillarsPipeline(Pipeline):
             pc_range_min=cfg.voxel.point_cloud_range[:2],
             num_anchors_per_cell=self.num_classes * 2,
             pfn_filters=int(p.get("pfn_filters", 64)),
+            backbone_layers=tuple(p.get("backbone_layers", [3, 5, 5])),
+            backbone_filters=tuple(p.get("backbone_filters",
+                                         [64, 128, 256])),
+            backbone_strides=tuple(p.get("backbone_strides", [2, 2, 2])),
+            backbone_up_strides=tuple(p.get("backbone_up_strides",
+                                            [1, 2, 4])),
+            backbone_up_filters=tuple(p.get("backbone_up_filters",
+                                            [128, 128, 128])),
             dtype=jnp.dtype(p.get("dtype", "float32")),
         )
 

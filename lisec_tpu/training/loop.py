@@ -62,15 +62,21 @@ def run_training(cfg: Config, *, progress: bool = True):
         os.path.join(cfg.train.ckpt_dir, "metrics.jsonl")
         if cfg.train.ckpt_dir else None)
 
+    from lisec_tpu.data.collate import prefetch
+
     dataset = pipeline.make_dataset("train")
-    batches = make_batches(
+    batches = prefetch(make_batches(
         dataset, cfg.budget, cfg.train.batch_size,
         shuffle=True, seed=cfg.train.seed,
-        augment_fn=pipeline.augment_fn("train"))
+        augment_fn=pipeline.augment_fn("train")))
 
     rng = jax.random.PRNGKey(cfg.train.seed + 17)
     history = []
     start_step = int(state.step)
+    # Realign the (deterministic, seeded) data stream after a resume so
+    # "train N" == "train k, resume, train N-k" exactly (SURVEY.md §5.4).
+    for _ in range(start_step):
+        next(batches)
     t0 = time.time()
     samples_done = 0
 
@@ -111,7 +117,9 @@ def run_training(cfg: Config, *, progress: bool = True):
                 print(f"[eval {step + 1}] {metrics}", flush=True)
 
     if ckpt is not None:
-        ckpt.save(cfg.train.num_steps, jax.device_get(state), force=True)
+        if ckpt.latest_step() != cfg.train.num_steps:
+            ckpt.save(cfg.train.num_steps, jax.device_get(state),
+                      force=True)
         ckpt.wait()
         ckpt.close()
     logger.close()

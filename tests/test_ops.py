@@ -340,7 +340,7 @@ class TestSparseConv:
         w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
         spec = ops.SparseConvSpec((3, 3, 3), (2, 2, 2), (1, 1, 1), self.GRID)
         out_coords, num_out = ops.build_output_coords(
-            jnp.asarray(coords), jnp.asarray(n_act), spec, max_out=64)
+            jnp.asarray(coords), jnp.asarray(n_act), spec, max_out=128)
         rb = ops.build_rulebook(
             jnp.asarray(coords), jnp.asarray(n_act), out_coords, num_out,
             spec)
