@@ -168,3 +168,41 @@ class PointPillars(nn.Module):
             dtype=self.dtype)(canvas, train)
         return AnchorHead(self.num_classes, self.num_anchors_per_cell,
                           dtype=self.dtype)(bev)
+
+
+class PointPillarsFused(nn.Module):
+    """PointPillars over the fused pillar encoder: raw padded points in,
+    per-anchor predictions out — no voxel buffer, no sort (see
+    models/pillar_encoder.py for the reformulation)."""
+
+    num_classes: int
+    grid_size: Tuple[int, int, int]          # (nx, ny, nz)
+    voxel_size: Tuple[float, float]
+    pc_range: Tuple[float, ...]
+    num_anchors_per_cell: int
+    pfn_filters: int = 64
+    backbone_layers: Sequence[int] = (3, 5, 5)
+    backbone_filters: Sequence[int] = (64, 128, 256)
+    backbone_strides: Sequence[int] = (2, 2, 2)
+    backbone_up_strides: Sequence[int] = (1, 2, 4)
+    backbone_up_filters: Sequence[int] = (128, 128, 128)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, point_mask, train: bool = False):
+        from lisec_tpu.models.pillar_encoder import FusedPillarEncoder
+        canvas = FusedPillarEncoder(
+            num_filters=self.pfn_filters,
+            pc_range=self.pc_range,
+            voxel_size=self.voxel_size,
+            grid=(self.grid_size[0], self.grid_size[1]),
+            dtype=self.dtype)(points, point_mask, train)
+        bev = BEVBackbone(
+            layer_nums=tuple(self.backbone_layers),
+            strides=tuple(self.backbone_strides),
+            filters=tuple(self.backbone_filters),
+            up_strides=tuple(self.backbone_up_strides),
+            up_filters=tuple(self.backbone_up_filters),
+            dtype=self.dtype)(canvas, train)
+        return AnchorHead(self.num_classes, self.num_anchors_per_cell,
+                          dtype=self.dtype)(bev)

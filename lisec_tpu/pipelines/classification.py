@@ -16,12 +16,14 @@ from lisec_tpu.config import Config
 from lisec_tpu.data.augment import augment_cloud
 from lisec_tpu.data.modelnet40 import ModelNet40
 from lisec_tpu.models.pointnet import PointNetCls, orthogonality_loss
+from lisec_tpu.models.pointnet2 import PointNet2Cls
 from lisec_tpu.pipelines.base import Pipeline
 from lisec_tpu.registry import register_pipeline, register_model
 from lisec_tpu.training.losses import cross_entropy
 from lisec_tpu.training.metrics import AccuracyMeter
 
 register_model("pointnet_cls")(PointNetCls)
+register_model("pointnet2_cls")(PointNet2Cls)
 
 
 @register_pipeline("pointnet_cls")
@@ -100,3 +102,18 @@ class PointNetClsPipeline(Pipeline):
                 break
         return {"accuracy": meter.overall(),
                 "class_mean_accuracy": meter.class_mean()}
+
+
+@register_pipeline("pointnet2_cls")
+class PointNet2ClsPipeline(PointNetClsPipeline):
+    """PointNet++ SSG classification (ModelNet40) — same pipeline with
+    the hierarchical set-abstraction network (SURVEY.md M2 family;
+    exercises O2/O3/O4 on the classification workload)."""
+
+    def __init__(self, cfg: Config):
+        Pipeline.__init__(self, cfg)
+        p = cfg.model.params
+        self.model = PointNet2Cls(
+            num_classes=cfg.data.num_classes,
+            width=int(p.get("width", 1)))
+        self.reg_weight = 0.0

@@ -24,7 +24,7 @@ import numpy as np
 from lisec_tpu.config import Config
 from lisec_tpu.data.augment import GTSampler, augment_detection
 from lisec_tpu.data.kitti import KittiDetection
-from lisec_tpu.models.pointpillars import PointPillars
+from lisec_tpu.models.pointpillars import PointPillars, PointPillarsFused
 from lisec_tpu.models.second import SECONDNet
 from lisec_tpu.ops.boxes import decode_boxes
 from lisec_tpu.ops.nms import rotated_nms
@@ -82,11 +82,11 @@ class PointPillarsPipeline(Pipeline):
 
     def build_model(self, cfg: Config):
         p = cfg.model.params
-        return PointPillars(
+        self.fused = bool(p.get("fused", True))
+        common = dict(
             num_classes=self.num_classes,
             grid_size=self.grid,
             voxel_size=cfg.voxel.voxel_size[:2],
-            pc_range_min=cfg.voxel.point_cloud_range[:2],
             num_anchors_per_cell=self.num_classes * 2,
             pfn_filters=int(p.get("pfn_filters", 64)),
             backbone_layers=tuple(p.get("backbone_layers", [3, 5, 5])),
@@ -99,6 +99,11 @@ class PointPillarsPipeline(Pipeline):
                                             [128, 128, 128])),
             dtype=jnp.dtype(p.get("dtype", "float32")),
         )
+        if self.fused:
+            return PointPillarsFused(
+                pc_range=cfg.voxel.point_cloud_range, **common)
+        return PointPillars(
+            pc_range_min=cfg.voxel.point_cloud_range[:2], **common)
 
     # -- data --------------------------------------------------------------
 
@@ -140,23 +145,25 @@ class PointPillarsPipeline(Pipeline):
         ))(points, point_mask)
         return vox
 
-    def _forward(self, params, batch_stats, batch, train, rng=None):
+    def _model_args(self, batch):
+        if getattr(self, "fused", False):
+            return (batch["points"], batch["point_mask"])
         vox = self._voxelize_batch(batch["points"], batch["point_mask"])
+        return (vox.voxels, vox.coords, vox.num_points, vox.num_voxels)
+
+    def _forward(self, params, batch_stats, batch, train, rng=None):
+        args = self._model_args(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(mutable=["batch_stats"]) if train else {}
-        out = self.model.apply(
-            variables, vox.voxels, vox.coords, vox.num_points,
-            vox.num_voxels, train=train, **kwargs)
+        out = self.model.apply(variables, *args, train=train, **kwargs)
         if train:
             preds, mutated = out
             return preds, mutated["batch_stats"]
         return out, batch_stats
 
     def init_variables(self, rng, batch):
-        vox = self._voxelize_batch(batch["points"], batch["point_mask"])
         return self.model.init(
-            {"params": rng}, vox.voxels, vox.coords, vox.num_points,
-            vox.num_voxels, train=False)
+            {"params": rng}, *self._model_args(batch), train=False)
 
     # -- training ----------------------------------------------------------
 
@@ -286,6 +293,7 @@ class SECONDPipeline(PointPillarsPipeline):
 
     def build_model(self, cfg: Config):
         p = cfg.model.params
+        self.fused = False
         budgets = tuple(p.get(
             "level_budgets",
             [cfg.budget.max_voxels, cfg.budget.max_voxels // 2,
