@@ -85,11 +85,14 @@ class FeaturePropagation(nn.Module):
 
 
 class PointNet2PartSeg(nn.Module):
-    """SSG part segmentation network (ShapeNetPart)."""
+    """Part segmentation network (ShapeNetPart): SSG by default, MSG
+    (multi-scale grouping — several radii per level, features
+    concatenated) with ``msg=True`` [arch, PointNet++ paper]."""
 
     num_parts: int = 50
     num_categories: int = 16
     width: int = 1
+    msg: bool = False
 
     @nn.compact
     def __call__(self, points, point_mask, category_onehot,
@@ -100,12 +103,23 @@ class PointNet2PartSeg(nn.Module):
         xyz = points[..., :3]
         feats = points[..., 3:] if points.shape[-1] > 3 else None
 
-        xyz1, f1, m1 = SetAbstraction(
-            512, (0.2,), (32,), ((64 * w, 64 * w, 128 * w),))(
-                xyz, feats, point_mask, train)
-        xyz2, f2, m2 = SetAbstraction(
-            128, (0.4,), (64,), ((128 * w, 128 * w, 256 * w),))(
-                xyz1, f1, m1, train)
+        if self.msg:
+            sa1 = SetAbstraction(
+                512, (0.1, 0.2, 0.4), (16, 32, 64),
+                ((32 * w, 32 * w, 64 * w),
+                 (64 * w, 64 * w, 128 * w),
+                 (64 * w, 96 * w, 128 * w)))
+            sa2 = SetAbstraction(
+                128, (0.4, 0.8), (64, 128),
+                ((128 * w, 128 * w, 256 * w),
+                 (128 * w, 196 * w, 256 * w)))
+        else:
+            sa1 = SetAbstraction(
+                512, (0.2,), (32,), ((64 * w, 64 * w, 128 * w),))
+            sa2 = SetAbstraction(
+                128, (0.4,), (64,), ((128 * w, 128 * w, 256 * w),))
+        xyz1, f1, m1 = sa1(xyz, feats, point_mask, train)
+        xyz2, f2, m2 = sa2(xyz1, f1, m1, train)
         g = GlobalSetAbstraction((256 * w, 512 * w, 1024 * w))(
             xyz2, f2, m2, train)                          # (B,1024)
 

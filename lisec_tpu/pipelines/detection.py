@@ -270,10 +270,17 @@ class PointPillarsPipeline(Pipeline):
             n += 1
             if max_batches and n >= max_batches:
                 break
-        return {
+        metrics = {
             "recall@0.5": hit_gt / max(total_gt, 1),
             "mean_detections": num_det / max(n * self.cfg.train.batch_size, 1),
         }
+        if self.cfg.model.params.get("eval_ap", False):
+            from lisec_tpu.eval.kitti_ap import evaluate_pipeline_ap
+            metrics.update(evaluate_pipeline_ap(
+                self, state, split="val",
+                max_frames=max_batches * self.cfg.train.batch_size
+                if max_batches else 0))
+        return metrics
 
 
 register_model("second")(SECONDNet)

@@ -35,7 +35,8 @@ class PointNet2PartSegPipeline(Pipeline):
         self.model = PointNet2PartSeg(
             num_parts=self.num_parts,
             num_categories=self.num_categories,
-            width=int(p.get("width", 1)))
+            width=int(p.get("width", 1)),
+            msg=bool(p.get("msg", False)))
 
     def make_dataset(self, split: str):
         return ShapeNetPart(self.cfg, split)

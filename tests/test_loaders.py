@@ -1,0 +1,84 @@
+"""L1 loader tests on the REAL on-disk formats (SURVEY.md §4 "Data"):
+fixture writers materialize KITTI / SemanticKITTI / ModelNet layouts,
+then the dataset classes read them back.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from lisec_tpu.config import load_config
+from lisec_tpu.data import fixtures
+from lisec_tpu.data.kitti import Calibration, KittiDetection
+from lisec_tpu.data.modelnet40 import ModelNet40
+from lisec_tpu.data.semantickitti import SemanticKitti, read_label, remap_labels
+
+
+def _cfg(base, root):
+    cfg = load_config(base)
+    return dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, fixture=False,
+                                      root=str(root)))
+
+
+class TestKittiDisk:
+    def test_roundtrip(self, tmp_path):
+        fixtures.write_kitti_fixture(str(tmp_path), num_frames=2, seed=3)
+        cfg = _cfg("configs/pointpillars_tiny.yaml", tmp_path)
+        ds = KittiDetection(cfg, "train")
+        assert len(ds) == 2
+        s = ds[0]
+        assert s["points"].shape[1] == 4
+        assert len(s["points"]) > 1000
+        assert s["gt_boxes"].shape[1] == 7
+        assert len(s["gt_boxes"]) == len(s["gt_classes"])
+        # The written scene's boxes should cover points (sanity: each
+        # box contains >= 5 points after the camera->lidar round trip).
+        from lisec_tpu.data.augment import _points_in_box_np
+        for box in s["gt_boxes"]:
+            assert _points_in_box_np(s["points"], box).sum() >= 5
+
+    def test_calibration_roundtrip(self, tmp_path):
+        fixtures.write_kitti_fixture(str(tmp_path), num_frames=1)
+        calib = Calibration(str(tmp_path / "training/calib/000000.txt"))
+        pts = np.array([[10.0, 2.0, -1.0], [30.0, -5.0, 0.5]])
+        rect = calib.lidar_to_rect(pts)
+        back = calib.rect_to_lidar(rect)
+        np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+class TestSemanticKittiDisk:
+    def test_roundtrip(self, tmp_path):
+        fixtures.write_semantickitti_fixture(str(tmp_path), num_scans=2)
+        cfg = _cfg("configs/rangeseg_tiny.yaml", tmp_path)
+        ds = SemanticKitti(cfg, "train")
+        assert len(ds) == 2
+        s = ds[0]
+        assert s["points"].shape[1] == 4
+        assert len(s["point_labels"]) == len(s["points"])
+        # Upper 16 bits (instance id) must be stripped.
+        assert s["point_labels"].max() < 2 ** 16
+
+    def test_remap(self):
+        raw = np.array([0, 10, 252, 31, 99], np.int32)
+        out = remap_labels(raw)
+        np.testing.assert_array_equal(out, [0, 1, 1, 7, 0])
+
+
+class TestModelNetDisk:
+    def test_roundtrip(self, tmp_path):
+        fixtures.write_modelnet_fixture(str(tmp_path), num_per_class=2,
+                                        num_classes=3)
+        cfg = load_config("configs/pointnet_modelnet40_tiny.yaml")
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(
+                cfg.data, fixture=False, root=str(tmp_path),
+                num_points=128, num_classes=3))
+        ds = ModelNet40(cfg, "train")
+        assert len(ds) == 6
+        s = ds[0]
+        assert s["points"].shape == (128, 3)
+        assert 0 <= s["label"] < 3
+        # Unit-sphere normalized.
+        assert np.linalg.norm(s["points"], axis=1).max() <= 1.0 + 1e-5
