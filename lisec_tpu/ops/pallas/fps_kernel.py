@@ -1,0 +1,100 @@
+"""O2 farthest-point sampling as a Pallas TPU kernel.
+
+The FPS recurrence is M sequential rounds of (distance update, argmax)
+over an (N,) table. Under XLA the table round-trips HBM every
+``fori_loop`` iteration; here the whole state — coordinates laid out as
+(8, N) rows [x, y, z, maskbits, ...] and the running min-distance row —
+lives in VMEM for all M rounds, so each round is one VPU pass with no
+HBM traffic at all. Selected coordinates are read back with dynamic
+scalar indexing into VMEM.
+
+Matches ``ops.fps.farthest_point_sampling`` exactly (same seed, same
+first-index tie-breaking); property-tested against it and the numpy
+oracle in interpret mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -3.0e38  # effectively -inf, stays finite for VPU max
+
+
+def _fps_kernel(rows_ref, out_ref, dist_ref, m: int):
+    """rows_ref: (8, N) f32 — rows 0..2 = xyz, row 3 = validity.
+    out_ref: (1, M) i32. dist_ref: (1, N) f32 scratch."""
+    n = rows_ref.shape[1]
+    xs = rows_ref[0, :]
+    ys = rows_ref[1, :]
+    zs = rows_ref[2, :]
+    valid = rows_ref[3, :] > 0.5
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+
+    def argmax_low(x):
+        """Lowest-index argmax (Mosaic's native argmax breaks ties by
+        vector-register layout, not index order): max reduce, then min
+        reduce over the matching lanes."""
+        top = jnp.max(x)
+        return jnp.min(jnp.where(x >= top, lane, n)).astype(jnp.int32)
+
+    # Seed: first valid point.
+    seed = jnp.min(jnp.where(valid, lane, n)).astype(jnp.int32)
+    out_ref[0, 0] = seed
+    dist_ref[0, :] = jnp.where(valid, 3.0e38, _NEG)
+
+    def body(i, last):
+        # Extract the last-selected point's coords with a masked
+        # reduction (dynamic_slice on values doesn't lower in Mosaic).
+        sel = (lane == last).astype(xs.dtype)
+        lx = jnp.sum(xs * sel)
+        ly = jnp.sum(ys * sel)
+        lz = jnp.sum(zs * sel)
+        d2 = (xs - lx) ** 2 + (ys - ly) ** 2 + (zs - lz) ** 2
+        d2 = jnp.where(valid, d2, _NEG)
+        new_dist = jnp.minimum(dist_ref[0, :], d2)
+        dist_ref[0, :] = new_dist
+        nxt = argmax_low(new_dist)
+        out_ref[0, i] = nxt
+        return nxt
+
+    jax.lax.fori_loop(1, m, body, seed)
+
+
+@partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def fps_pallas(
+    points: jax.Array,
+    point_mask: jax.Array,
+    num_samples: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas FPS: points (..., N, 3), mask (..., N) -> (..., M) int32."""
+    if points.ndim > 2:
+        return jax.vmap(lambda p, m: fps_pallas(
+            p, m, num_samples, interpret=interpret))(points, point_mask)
+
+    n = points.shape[0]
+    # Pack into the (8, N) row layout the VPU wants (8 sublanes).
+    rows = jnp.zeros((8, n), jnp.float32)
+    rows = rows.at[0].set(points[:, 0].astype(jnp.float32))
+    rows = rows.at[1].set(points[:, 1].astype(jnp.float32))
+    rows = rows.at[2].set(points[:, 2].astype(jnp.float32))
+    rows = rows.at[3].set(point_mask.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        partial(_fps_kernel, m=num_samples),
+        out_shape=jax.ShapeDtypeStruct((1, num_samples), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        # Indices are written one scalar per round -> SMEM (scalar
+        # stores to VMEM are not lowerable).
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
+        interpret=interpret,
+    )(rows)
+    return out[0]
