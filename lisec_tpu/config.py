@@ -115,6 +115,7 @@ class TrainConfig:
     ckpt_every: int = 500
     resume: str = ""                  # "" | "auto" | explicit path
     num_devices: int = 0              # 0 = use all visible devices (DP)
+    debug_nans: bool = False          # jax_debug_nans for CI runs (§5.2)
 
 
 @dataclass

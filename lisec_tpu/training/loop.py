@@ -45,6 +45,9 @@ def run_training(cfg: Config, *, progress: bool = True):
     from lisec_tpu.data.collate import make_batches
     from lisec_tpu.training.checkpoint import CheckpointManager
 
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     pipeline = build_model(cfg)
     state = pipeline.init_state(cfg.train.seed)
 
