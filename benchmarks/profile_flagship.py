@@ -1,0 +1,196 @@
+"""Per-stage profile of the flagship PointPillars inference program.
+
+VERDICT r1 asked for the 85.9 ms/batch-8 device time split into
+encoder / backbone / head / decode / NMS before optimizing anything.
+
+Methodology (this box): ``block_until_ready`` is a no-op on the axon
+backend and a single device->host scalar sync costs ~31 ms, so naive
+per-call timing has a 31 ms floor. Every stage here is therefore run
+``iters`` times INSIDE one jitted ``lax.scan`` whose carry perturbs the
+stage input (defeats CSE/hoisting and forces sequential execution), and
+the whole chain is fenced with ONE scalar sync; per-iteration time is
+(total - sync_floor) / iters.
+
+Run:  python benchmarks/profile_flagship.py [--iters 20] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chain_timer(fn, args, iters, sync_floor):
+    """Time `iters` sequential evaluations of fn(*args) inside one jit.
+
+    fn must return a scalar. The scan carry is folded into the first
+    float argument so XLA cannot hoist the body out of the loop.
+    """
+
+    def perturb(args, eps):
+        out, done = [], False
+        for a in args:
+            if not done and isinstance(a, jax.Array) and \
+                    jnp.issubdtype(a.dtype, jnp.floating):
+                out.append(a + eps.astype(a.dtype))
+                done = True
+            else:
+                out.append(a)
+        return tuple(out)
+
+    @jax.jit
+    def run(*args):
+        def body(carry, _):
+            out = fn(*perturb(args, carry * 1e-30))
+            return out.astype(jnp.float32) * 1e-30, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(run(*args))                      # compile + warm
+    t0 = time.perf_counter()
+    float(run(*args))
+    dt = time.perf_counter() - t0
+    return max(dt - sync_floor, 0.0) / iters
+
+
+def measure_sync_floor():
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.float32(1.0)
+    float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    from lisec_tpu.config import apply_overrides, load_config
+    from lisec_tpu.api import build_model
+    from lisec_tpu.bench_lib import _fixture_batch
+
+    cfg = load_config("configs/pointpillars_kitti.yaml")
+    cfg = apply_overrides(cfg, [
+        "data.fixture=true", "data.fixture_size=8",
+        "data.augment.enabled=false", "train.ckpt_dir=",
+    ])
+    pipeline = build_model(cfg)
+    state = pipeline.init_state(0)
+    batch = _fixture_batch(cfg, args.batch)
+    points = jnp.asarray(batch["points"])
+    mask = jnp.asarray(batch["point_mask"])
+
+    floor = measure_sync_floor()
+    print(f"sync floor: {1e3 * floor:.1f} ms")
+    B = args.batch
+    results = {}
+
+    def record(name, dt_s):
+        results[name] = 1e3 * dt_s
+        print(f"{name:>22}: {1e3 * dt_s:8.3f} ms/batch-{B}"
+              f"  ({1e6 * dt_s / B:9.1f} us/cloud)")
+
+    it = args.iters
+
+    # --- full predict ------------------------------------------------
+    full = lambda p, m: jnp.sum(pipeline.predict(
+        state.params, state.batch_stats,
+        {"points": p, "point_mask": m})["boxes"])
+    record("full_predict", chain_timer(full, (points, mask), it, floor))
+
+    # --- stage 1: fused encoder (points -> canvas) --------------------
+    from lisec_tpu.models.pillar_encoder import FusedPillarEncoder
+    enc = FusedPillarEncoder(
+        num_filters=64, pc_range=cfg.voxel.point_cloud_range,
+        voxel_size=tuple(cfg.voxel.voxel_size[:2]),
+        grid=(cfg.voxel.grid_size[0], cfg.voxel.grid_size[1]),
+        dtype=jnp.bfloat16)
+    enc_vars = enc.init(jax.random.PRNGKey(0), points, mask)
+    enc_fn = lambda p, m: jnp.sum(
+        enc.apply(enc_vars, p, m).astype(jnp.float32))
+    record("encoder", chain_timer(enc_fn, (points, mask), it, floor))
+
+    # --- stage 2: BEV backbone ----------------------------------------
+    from lisec_tpu.models.pointpillars import AnchorHead, BEVBackbone
+    nx, ny, _ = cfg.voxel.grid_size
+    canvas = jnp.zeros((B, ny, nx, 64), jnp.bfloat16)
+    bb = BEVBackbone(dtype=jnp.bfloat16)
+    bb_vars = bb.init(jax.random.PRNGKey(0), canvas)
+    bb_fn = lambda c: jnp.sum(bb.apply(bb_vars, c).astype(jnp.float32))
+    record("backbone", chain_timer(bb_fn, (canvas,), it, floor))
+
+    # --- stage 3: head --------------------------------------------------
+    bev = jnp.zeros((B, ny // 2, nx // 2, 384), jnp.bfloat16)
+    hd = AnchorHead(num_classes=1, num_anchors_per_cell=2,
+                    dtype=jnp.bfloat16)
+    hd_vars = hd.init(jax.random.PRNGKey(0), bev)
+    hd_fn = lambda x: jnp.sum(hd.apply(hd_vars, x)["cls"])
+    record("head", chain_timer(hd_fn, (bev,), it, floor))
+
+    # --- stage 4: decode + score/topk ----------------------------------
+    from lisec_tpu.ops.boxes import decode_boxes
+    A = (ny // 2) * (nx // 2) * 2
+    rng = jax.random.PRNGKey(1)
+    box_p = jax.random.normal(rng, (B, A, 7), jnp.float32) * 0.1
+    cls_p = jax.random.normal(rng, (B, A, 1), jnp.float32)
+    anchors = pipeline.anchors
+
+    def dec_fn(bp, cp):
+        boxes = decode_boxes(bp, anchors[None])
+        scores = jnp.max(jax.nn.sigmoid(cp), axis=-1)
+        ts, order = jax.lax.top_k(scores, 1024)
+        return jnp.sum(ts) + jnp.sum(boxes)
+    record("decode+topk", chain_timer(dec_fn, (box_p, cls_p), it, floor))
+
+    # --- stage 5: NMS ---------------------------------------------------
+    from lisec_tpu.ops.nms import rotated_nms
+    nb = jax.random.uniform(rng, (B, 1024, 7), jnp.float32) * 10.0
+    ns = jax.random.uniform(rng, (B, 1024), jnp.float32)
+    nl = jnp.zeros((B, 1024), jnp.int32)
+
+    def nms_fn(b, s, l):
+        out = jax.vmap(lambda bb_, ss, ll: rotated_nms(
+            bb_, ss, ll, iou_threshold=0.5, score_threshold=0.1,
+            nms_pre=1024, nms_post=128))(b, s, l)
+        return jnp.sum(out.scores)
+    record("nms", chain_timer(nms_fn, (nb, ns, nl), it, floor))
+
+    # --- O1 buffered voxelize (SECOND path / GB/s metric) ---------------
+    from lisec_tpu.ops.voxelize import voxelize
+
+    def vox_fn(p, m):
+        return jnp.sum(jax.vmap(lambda pp, mm: voxelize(
+            pp, mm, pc_range=cfg.voxel.point_cloud_range,
+            voxel_size=cfg.voxel.voxel_size, grid_size=cfg.voxel.grid_size,
+            max_voxels=cfg.budget.max_voxels,
+            max_points_per_voxel=cfg.budget.max_points_per_voxel,
+        ).voxels)(p, m))
+    dt = chain_timer(vox_fn, (points, mask), it, floor)
+    record("voxelize_buffered", dt)
+    nbytes = points.size * points.dtype.itemsize
+    print(f"{'voxelize GB/s':>22}: {nbytes / dt / 1e9:8.3f}")
+
+    stages = ["encoder", "backbone", "head", "decode+topk", "nms"]
+    print(f"{'sum(stages)':>22}: {sum(results[s] for s in stages):8.3f} "
+          f"ms/batch-{B} vs full {results['full_predict']:.3f}")
+    print(json.dumps({k: round(v, 3) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

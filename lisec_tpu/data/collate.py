@@ -59,6 +59,14 @@ def pad_to_budget(sample: Dict[str, np.ndarray], budget) -> Dict[str, np.ndarray
     if "gt_boxes" in sample:
         out.update(pad_boxes(sample["gt_boxes"], sample["gt_classes"],
                              budget.max_boxes))
+        if "difficulty" in sample:
+            # Keep per-gt difficulty alongside the padded boxes so the
+            # KITTI AP evaluator can bucket easy/moderate/hard (-1 fill
+            # = "ignore always").
+            diff = np.asarray(sample["difficulty"], np.int32)
+            b = min(len(diff), budget.max_boxes)
+            out["difficulty"] = np.full((budget.max_boxes,), -1, np.int32)
+            out["difficulty"][:b] = diff[:b]
     return out
 
 

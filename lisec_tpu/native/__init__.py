@@ -69,6 +69,19 @@ _lib = _load()
 AVAILABLE = _lib is not None
 
 
+def _check_inplace(a: np.ndarray, dtype, name: str) -> None:
+    """In-place entry points write through raw pointers: a wrong dtype
+    or non-contiguous (sliced) array would be silently misread or
+    corrupted, so fail loudly instead (the numpy fallbacks handle those
+    inputs fine, but the behavior must not depend on AVAILABLE)."""
+    if a.dtype != dtype:
+        raise TypeError(f"{name}: expected {np.dtype(dtype).name} array, "
+                        f"got {a.dtype.name}")
+    if not a.flags.c_contiguous:
+        raise ValueError(f"{name}: array must be C-contiguous "
+                         "(pass a copy, not a slice/view)")
+
+
 def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
@@ -95,6 +108,7 @@ def read_velodyne(path: str, max_points: int = 300_000) -> np.ndarray:
 def transform_cloud(points: np.ndarray, rotation: np.ndarray,
                     scale: float, translation: np.ndarray) -> None:
     """In-place xyz <- R @ xyz * scale + t. points: (N, C) float32."""
+    _check_inplace(points, np.float32, "transform_cloud")
     if _lib is None:
         points[:, :3] = (points[:, :3] @ np.asarray(
             rotation, np.float32).T) * scale + translation
@@ -106,6 +120,7 @@ def transform_cloud(points: np.ndarray, rotation: np.ndarray,
 
 
 def flip_y(points: np.ndarray) -> None:
+    _check_inplace(points, np.float32, "flip_y")
     if _lib is None:
         points[:, 1] = -points[:, 1]
         return
@@ -115,6 +130,7 @@ def flip_y(points: np.ndarray) -> None:
 def points_in_rbbox_first(points: np.ndarray,
                           boxes: np.ndarray) -> np.ndarray:
     """(N,) int32: 1-based index of the first containing box, 0 = none."""
+    _check_inplace(points, np.float32, "points_in_rbbox_first")
     n = len(points)
     if _lib is None or len(boxes) == 0:
         out = np.zeros(n, np.int32)
@@ -138,6 +154,8 @@ def perturb_boxes(points: np.ndarray, member: np.ndarray,
                   centers: np.ndarray, dyaw: np.ndarray,
                   dtrans: np.ndarray) -> None:
     """In-place per-box rigid noise on member points (D5)."""
+    _check_inplace(points, np.float32, "perturb_boxes")
+    _check_inplace(member, np.int32, "perturb_boxes(member)")
     if _lib is None:
         for j in range(len(centers)):
             m = member == j + 1

@@ -43,8 +43,14 @@ def _fps_kernel(rows_ref, out_ref, dist_ref, m: int):
         top = jnp.max(x)
         return jnp.min(jnp.where(x >= top, lane, n)).astype(jnp.int32)
 
-    # Seed: first valid point.
-    seed = jnp.min(jnp.where(valid, lane, n)).astype(jnp.int32)
+    # Seed: first valid point. With zero valid points the min is n
+    # (out of range) — clamp to 0 so the all-masked case matches the
+    # XLA path (argmax over an all-False mask returns 0) instead of
+    # feeding an invalid index to the reduction loop and downstream
+    # gathers.
+    seed = jnp.minimum(
+        jnp.min(jnp.where(valid, lane, n)), n - 1).astype(jnp.int32)
+    seed = jnp.where(jnp.any(valid), seed, 0)
     out_ref[0, 0] = seed
     dist_ref[0, :] = jnp.where(valid, 3.0e38, _NEG)
 

@@ -110,10 +110,14 @@ def assign_targets(
     # anchor index). Standard recipe guarantees every gt is learned.
     best_anchor_per_gt = jnp.argmax(iou, axis=0)            # (M,)
     gt_has_overlap = jnp.max(iou, axis=0) > 0
-    forced = jnp.zeros((a,), bool).at[best_anchor_per_gt].set(
-        gt_mask.astype(bool) & gt_has_overlap, mode="drop")
+    # A padded gt's IoU column is all -1, so its argmax is anchor 0 —
+    # route those writes out of range (mode='drop') so duplicate-index
+    # scatter order can never clobber a real gt's claim at anchor 0.
+    gt_claims = gt_mask.astype(bool) & gt_has_overlap
+    claim_idx = jnp.where(gt_claims, best_anchor_per_gt, a)
+    forced = jnp.zeros((a,), bool).at[claim_idx].set(True, mode="drop")
     # The forced anchor's best_gt must be the gt that claimed it.
-    claimed_gt = jnp.zeros((a,), jnp.int32).at[best_anchor_per_gt].set(
+    claimed_gt = jnp.zeros((a,), jnp.int32).at[claim_idx].set(
         jnp.arange(m, dtype=jnp.int32), mode="drop")
     best_gt = jnp.where(forced, claimed_gt, best_gt)
 

@@ -24,6 +24,11 @@ class CheckpointManager:
                 enable_async_checkpointing=True),
         )
 
+    def should_save(self, step: int) -> bool:
+        """True iff the manager would accept a save at `step` — callers
+        gate the (expensive) device->host state transfer on this."""
+        return bool(self.manager.should_save(step))
+
     def save(self, step: int, state: Any, force: bool = False) -> bool:
         return self.manager.save(
             step, args=ocp.args.StandardSave(state), force=force)

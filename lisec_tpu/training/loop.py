@@ -107,7 +107,10 @@ def run_training(cfg: Config, *, progress: bool = True):
                 print(f"[train {step + 1}/{cfg.train.num_steps}] {msg}",
                       flush=True)
 
-        if ckpt is not None:
+        if ckpt is not None and ckpt.should_save(step + 1):
+            # device_get pulls the full params+opt_state to host — only
+            # pay that (and the implied sync) when the manager will
+            # actually accept the save.
             ckpt.save(step + 1, jax.device_get(state))
 
         if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0 \

@@ -56,15 +56,6 @@ def sin_difference(pred_boxes, target_boxes):
     return pred, target
 
 
-def direction_targets(target_boxes, anchors, *, offset: float = 0.0):
-    """Direction-classifier bins: 1 if the target yaw (relative to the
-    anchor) is in [0, pi), else 0."""
-    rot = target_boxes[..., 6] + anchors[..., 6]
-    # encode stores residual; target_boxes here are *encoded* residuals,
-    # so absolute yaw = residual + anchor yaw.
-    return (jnp.mod(rot - offset, 2 * jnp.pi) < jnp.pi).astype(jnp.int32)
-
-
 def lovasz_softmax(probs, labels, *, num_classes: int, mask=None):
     """Lovász-softmax over flattened pixels/points (range seg).
 

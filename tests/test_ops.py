@@ -208,6 +208,45 @@ class TestRotatedIoU:
         b = jnp.asarray([0, 0, 0, 4, 2, 1, -np.pi + 0.01], jnp.float32)
         assert float(ops.rotated_iou_bev(a, b)) > 0.95
 
+    def test_identical_random_poses(self, rng):
+        # Self-IoU must be exactly 1 at arbitrary pose — on-boundary
+        # corners far from the origin stress the eps predicates.
+        n = 32
+        b = np.stack([
+            rng.uniform(-50, 50, n), rng.uniform(-50, 50, n), np.zeros(n),
+            rng.uniform(1, 5, n), rng.uniform(1, 4, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+        iou = np.asarray(ops.rotated_iou_bev(jnp.asarray(b), jnp.asarray(b)))
+        np.testing.assert_allclose(iou, np.ones(n), atol=1e-5)
+
+    def test_touching_far_from_origin(self):
+        # Edge-touching boxes have IoU 0 regardless of where they sit
+        # (the area computation must be translation invariant).
+        for ofs in [(0.0, 0.0), (37.5, -21.25), (-60.0, 33.0)]:
+            a = jnp.asarray([ofs[0], ofs[1], 0, 2, 2, 1, 0.0], jnp.float32)
+            b = jnp.asarray([ofs[0] + 2, ofs[1], 0, 2, 2, 1, 0.0],
+                            jnp.float32)
+            assert abs(float(ops.rotated_iou_bev(a, b))) < 1e-5
+
+    def test_contained_box(self):
+        a = jnp.asarray([10, -5, 0, 8, 6, 1, 0.4], jnp.float32)
+        b = jnp.asarray([10, -5, 0, 2, 1, 1, 0.4], jnp.float32)
+        np.testing.assert_allclose(
+            float(ops.rotated_iou_bev(a, b)), 2.0 / 48.0, atol=1e-5)
+
+    def test_parallel_same_yaw_overlap(self, rng):
+        # Same-yaw pairs keep edge lines parallel/collinear — the
+        # enumeration must neither double count nor drop their vertices.
+        for _ in range(20):
+            yaw = float(rng.uniform(-np.pi, np.pi))
+            x = float(rng.uniform(-30, 30))
+            a = np.array([x, 3.0, 0, 4, 2, 1, yaw], np.float32)
+            bshift = np.array([1.3, 0, 0, 0, 0, 0, 0], np.float32)
+            b = a + bshift
+            got = float(ops.rotated_iou_bev(jnp.asarray(a), jnp.asarray(b)))
+            want = ops_np.rotated_iou_np(a, b)
+            np.testing.assert_allclose(got, want, atol=2e-4)
+
 
 class TestNMS:
     def test_matches_oracle(self, rng):
