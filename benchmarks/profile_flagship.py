@@ -30,49 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_timer(fn, args, iters, sync_floor):
-    """Time `iters` sequential evaluations of fn(*args) inside one jit.
-
-    fn must return a scalar. The scan carry is folded into the first
-    float argument so XLA cannot hoist the body out of the loop.
-    """
-
-    def perturb(args, eps):
-        out, done = [], False
-        for a in args:
-            if not done and isinstance(a, jax.Array) and \
-                    jnp.issubdtype(a.dtype, jnp.floating):
-                out.append(a + eps.astype(a.dtype))
-                done = True
-            else:
-                out.append(a)
-        return tuple(out)
-
-    @jax.jit
-    def run(*args):
-        def body(carry, _):
-            out = fn(*perturb(args, carry * 1e-30))
-            return out.astype(jnp.float32) * 1e-30, None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
-
-    float(run(*args))                      # compile + warm
-    t0 = time.perf_counter()
-    float(run(*args))
-    dt = time.perf_counter() - t0
-    return max(dt - sync_floor, 0.0) / iters
-
-
-def measure_sync_floor():
-    f = jax.jit(lambda x: x * 2.0)
-    x = jnp.float32(1.0)
-    float(f(x))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(f(x))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+# Shared chain-timing helpers (see bench_lib for the methodology).
+from lisec_tpu.bench_lib import chain_time as chain_timer  # noqa: E402
+from lisec_tpu.bench_lib import measure_sync_floor  # noqa: E402
 
 
 def main():

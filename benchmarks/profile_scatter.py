@@ -37,7 +37,7 @@ def segmented_max(h, is_start):
         av, af = a
         bv, bf = b
         return jnp.where(bf[..., None], bv, jnp.maximum(av, bv)), af | bf
-    out, _ = jax.lax.associative_scan((h, is_start), op=lambda a, b: op(a, b))
+    out, _ = jax.lax.associative_scan(op, (h, is_start))
     return out
 
 

@@ -12,7 +12,12 @@ Measures the driver metrics (BASELINE.json:2) on the local chip:
 Timing methodology: this backend's ``block_until_ready`` does not
 actually block (axon tunnel), so every measured program is reduced to a
 scalar ON DEVICE and synced with ``float()`` — compute is fully fenced
-while only 4 bytes cross the tunnel.
+while only 4 bytes cross the tunnel. A single sync costs ~28-31 ms on
+this box, so the device-resident number is chain-timed: k iterations
+run sequentially inside ONE jitted ``lax.scan`` (the carry perturbs the
+input so XLA cannot hoist the body) with a single sync at the end;
+per-iteration time is (total - sync_floor) / k. The end-to-end number
+keeps per-call semantics — its transfers are the point.
 
 North star: >= 10k KITTI clouds/sec/chip on v5e (BASELINE.json:5);
 ``vs_baseline`` reports the ratio against that target.
@@ -30,6 +35,50 @@ import numpy as np
 from lisec_tpu.config import Config
 
 NORTH_STAR_CLOUDS_PER_SEC = 10_000.0
+
+
+def measure_sync_floor() -> float:
+    """Seconds for one trivial dispatch + scalar sync (the per-call
+    floor every naive measurement on this box is inflated by)."""
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.float32(1.0)
+    float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def chain_time(fn, args, iters: int, sync_floor: float) -> float:
+    """Per-iteration seconds of `fn(*args)` (scalar-valued), run
+    `iters` times sequentially inside one jitted scan, one sync."""
+
+    def perturb(args, eps):
+        out, done = [], False
+        for a in args:
+            if not done and isinstance(a, jax.Array) and \
+                    jnp.issubdtype(a.dtype, jnp.floating):
+                out.append(a + eps.astype(a.dtype))
+                done = True
+            else:
+                out.append(a)
+        return tuple(out)
+
+    @jax.jit
+    def run(*args):
+        def body(carry, _):
+            out = fn(*perturb(args, carry * 1e-30))
+            return out.astype(jnp.float32) * 1e-30, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(run(*args))                      # compile + warm
+    t0 = time.perf_counter()
+    float(run(*args))
+    dt = time.perf_counter() - t0
+    return max(dt - sync_floor, 0.0) / iters
 
 
 def _fixture_batch(cfg: Config, batch_size: int, seed: int = 0):
@@ -63,24 +112,25 @@ def bench_inference(cfg: Config, *, batch_size: int = 8,
         np.asarray(out["boxes"])          # device->host sync
     dt_e2e = (time.perf_counter() - t0) / iters
 
-    # Device-resident: inputs pre-staged in HBM, scalar-reduced output.
+    # Device-resident: inputs pre-staged in HBM, chain-timed (one sync
+    # for `iters` sequential executions — per-call syncs cost ~30 ms
+    # on this box and would dominate).
     pts = jnp.asarray(points_np)
     mask = jnp.asarray(mask_np)
-    fn = jax.jit(lambda p, m: jnp.sum(pipeline.predict(
-        state.params, state.batch_stats,
-        {"points": p, "point_mask": m})["boxes"]))
-    for _ in range(warmup):
-        float(fn(pts, mask))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(fn(pts, mask))
-    dt_dev = (time.perf_counter() - t0) / iters
+    floor = measure_sync_floor()
+
+    def dev_fn(p, m):
+        return jnp.sum(pipeline.predict(
+            state.params, state.batch_stats,
+            {"points": p, "point_mask": m})["boxes"])
+    dt_dev = chain_time(dev_fn, (pts, mask), iters, floor)
 
     return {
         "clouds_per_sec": batch_size / dt_e2e,
         "device_clouds_per_sec": batch_size / dt_dev,
         "latency_ms_per_batch": 1e3 * dt_e2e,
         "device_latency_ms_per_batch": 1e3 * dt_dev,
+        "sync_floor_ms": 1e3 * floor,
         "batch_size": batch_size,
     }
 
@@ -94,21 +144,17 @@ def bench_voxelize(cfg: Config, *, batch_size: int = 8,
     points = jnp.asarray(batch["points"])
     mask = jnp.asarray(batch["point_mask"])
 
-    vox_fn = jax.jit(lambda p, m: jnp.sum(jax.vmap(lambda pp, mm: voxelize(
-        pp, mm,
-        pc_range=cfg.voxel.point_cloud_range,
-        voxel_size=cfg.voxel.voxel_size,
-        grid_size=cfg.voxel.grid_size,
-        max_voxels=cfg.budget.max_voxels,
-        max_points_per_voxel=cfg.budget.max_points_per_voxel,
-    ).voxels)(p, m)))
+    def vox_fn(p, m):
+        return jnp.sum(jax.vmap(lambda pp, mm: voxelize(
+            pp, mm,
+            pc_range=cfg.voxel.point_cloud_range,
+            voxel_size=cfg.voxel.voxel_size,
+            grid_size=cfg.voxel.grid_size,
+            max_voxels=cfg.budget.max_voxels,
+            max_points_per_voxel=cfg.budget.max_points_per_voxel,
+        ).voxels)(p, m))
 
-    for _ in range(warmup):
-        float(vox_fn(points, mask))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(vox_fn(points, mask))
-    dt = (time.perf_counter() - t0) / iters
+    dt = chain_time(vox_fn, (points, mask), iters, measure_sync_floor())
     nbytes = points.size * points.dtype.itemsize
     return {
         "voxelize_gb_per_sec": nbytes / dt / 1e9,

@@ -116,6 +116,11 @@ class TrainConfig:
     resume: str = ""                  # "" | "auto" | explicit path
     num_devices: int = 0              # 0 = use all visible devices (DP)
     debug_nans: bool = False          # jax_debug_nans for CI runs (§5.2)
+    # P2 multi-host launcher (SURVEY.md §2.4): one process per host.
+    multihost: bool = False           # jax.distributed.initialize at startup
+    coordinator: str = ""             # "" = TPU-pod auto-detect
+    num_processes: int = 0            # 0 = auto-detect
+    process_id: int = -1              # -1 = auto-detect
 
 
 @dataclass

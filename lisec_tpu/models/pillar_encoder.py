@@ -3,23 +3,34 @@ voxelize + PFN + pillar-scatter (SURVEY.md §2.3 O1/O6 + §2.2 M3).
 
 The classic pipeline materializes a (P, K, C) voxel buffer (CUDA
 hashing) and max-pools K points per pillar. On TPU that costs a sort
-plus a 2D scatter (~6 ms/cloud measured). But the PFN is
-per-point-then-per-pillar-max, so the buffer is unnecessary:
+plus scatters. The PFN is per-point-then-per-pillar-max, so the buffer
+is unnecessary; two equivalent formulations are kept:
 
-  1. cell id per point                     (elementwise)
-  2. per-cell count & xyz sum              (scatter-add, ~free)
-  3. decorate each point (x,y,z,r, xyz-mean, xy-cellcenter)
-                                           (one gather + elementwise)
-  4. Dense(9 -> C) + BN + ReLU             (one MXU matmul over N)
-  5. scatter-max straight into the BEV canvas by cell id
+**Training path (differentiable, pure XLA).** cell ids -> per-cell
+count/xyz-sum scatter-add -> gather mean -> decorate -> Dense+BN+ReLU
+-> scatter-max into the canvas. Simple, autodiff-friendly; its
+data-dependent scatters run at XLA:TPU's ~2 GB/s scatter ceiling
+(~30 ms/batch-8), which the backward-dominated train step tolerates.
 
-No sort, no (P, K) buffer, no per-pillar point cap (strictly MORE
-faithful than the K-budget path: every point contributes), and the
-only data-dependent ops are 1D scatters, which XLA:TPU executes at
-memory speed. ~3x faster than the buffered path on v5e.
+**Inference path (Pallas, ~10x).** Measured on v5e: scatters/gathers
+are ~2 GB/s no matter the hints; multi-operand sorts are ~free. So:
+co-sort points by cell id, then algebraically split the PFN:
 
-The buffered path (ops.voxelize + PillarFeatureNet) remains for
-SECOND (sparse conv needs explicit voxel lists) and as the public O1.
+    Dense([pts4, xyz - mean_c, xy - center_c])
+      = [pts4, xyz, xy] @ W  -  mean_c @ W[4:7]  -  center_c @ W[7:9]
+
+The first term `u` is per-point (one f32 matmul — absolute coords do
+NOT survive bf16); the rest is per-cell. Inference BatchNorm is an
+affine y = s*h + t, and folding s into W keeps max/relu commuting:
+
+    canvas_c = relu( max_c(u') - mean_c @ W'[4:7] - center_c @ W'[7:9] + t )
+
+so the only data-dependent step is per-cell (max of u', sum of xyz/1),
+computed by the Pallas slab-paint kernel (ops/pallas/pillar_paint.py)
+at matmul/sort speed. Exact modulo float association.
+
+The buffered path (ops.voxelize + PillarFeatureNet) remains for SECOND
+(sparse conv needs explicit voxel lists) and as the public O1.
 """
 
 from __future__ import annotations
@@ -30,6 +41,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+_BN_MOMENTUM = 0.99
+_BN_EPS = 1e-3
+
 
 class FusedPillarEncoder(nn.Module):
     """points (B, N, 4) + mask (B, N) -> BEV canvas (B, ny, nx, C)."""
@@ -39,20 +53,54 @@ class FusedPillarEncoder(nn.Module):
     voxel_size: Tuple[float, float] = (0.16, 0.16)
     grid: Tuple[int, int] = (432, 496)            # (nx, ny)
     dtype: jnp.dtype = jnp.float32
+    fast_inference: bool = True                   # Pallas paint when !train
 
-    @nn.compact
-    def __call__(self, points, point_mask, train: bool = False):
+    def _cells(self, points, point_mask):
         nx, ny = self.grid
-        ncells = nx * ny
         r = self.pc_range
         x, y, z = points[..., 0], points[..., 1], points[..., 2]
-
         ix = jnp.floor((x - r[0]) / self.voxel_size[0]).astype(jnp.int32)
         iy = jnp.floor((y - r[1]) / self.voxel_size[1]).astype(jnp.int32)
         valid = (
             (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
             & (z >= r[2]) & (z < r[5]) & point_mask.astype(bool))
-        cell = jnp.where(valid, iy * nx + ix, ncells)      # (B, N)
+        cell = jnp.where(valid, iy * nx + ix, nx * ny)     # (B, N)
+        return cell, valid, ix, iy
+
+    @nn.compact
+    def __call__(self, points, point_mask, train: bool = False):
+        c = self.num_filters
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (9, c), jnp.float32)
+        bn_scale = self.param(
+            "scale", nn.initializers.ones, (c,), jnp.float32)
+        bn_bias = self.param(
+            "bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        if train or not self.fast_inference or self.is_initializing():
+            canvas = self._reference_path(
+                points, point_mask, kernel, bn_scale, bn_bias,
+                ra_mean, ra_var, train)
+        else:
+            canvas = self._pallas_path(
+                points, point_mask, kernel, bn_scale, bn_bias,
+                ra_mean.value, ra_var.value)
+        nx, ny = self.grid
+        return canvas.reshape(-1, ny, nx, c)
+
+    # -- reference path (train + fallback): XLA scatters ----------------
+
+    def _reference_path(self, points, point_mask, kernel, bn_scale,
+                        bn_bias, ra_mean, ra_var, train):
+        nx, ny = self.grid
+        ncells = nx * ny
+        r = self.pc_range
+        cell, valid, ix, iy = self._cells(points, point_mask)
+        x, y = points[..., 0], points[..., 1]
 
         # Per-cell count and xyz sum (1D scatter-adds; trash row drops
         # invalid points).
@@ -79,22 +127,89 @@ class FusedPillarEncoder(nn.Module):
         feats = jnp.concatenate(
             [points[..., :4], f_cluster, f_center], -1) * fvalid
 
-        h = nn.Dense(self.num_filters, use_bias=False,
-                     dtype=self.dtype)(feats.astype(self.dtype))
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype)(h)
-        h = nn.relu(h)                                     # (B, N, C)
+        h = (feats.astype(self.dtype)
+             @ kernel.astype(self.dtype))                  # (B, N, C)
+        h32 = h.astype(jnp.float32)
+        if train:
+            mu = jnp.mean(h32, axis=(0, 1))
+            var = jnp.var(h32, axis=(0, 1))
+            if not self.is_initializing():
+                ra_mean.value = (_BN_MOMENTUM * ra_mean.value
+                                 + (1.0 - _BN_MOMENTUM) * mu)
+                ra_var.value = (_BN_MOMENTUM * ra_var.value
+                                + (1.0 - _BN_MOMENTUM) * var)
+        else:
+            mu, var = ra_mean.value, ra_var.value
+        s = bn_scale * jax.lax.rsqrt(var + _BN_EPS)
+        t = bn_bias - s * mu
+        h = nn.relu((h32 * s + t).astype(self.dtype))      # (B, N, C)
 
-        # Scatter-max straight into the canvas. Fill with -inf (NOT
-        # finfo.min, which is finite) so the isfinite cleanup zeroes
-        # empty cells.
-        neg = jnp.array(-jnp.inf, h.dtype)
-
+        # Scatter-max straight into the canvas. h >= 0 after ReLU, so a
+        # zero-initialized canvas both collects the per-cell max and
+        # leaves empty cells at the correct 0 (max commutes with relu).
         def canvas_one(cell_i, h_i):
-            cv = jnp.full((ncells + 1, self.num_filters), neg, h_i.dtype)
+            cv = jnp.zeros((ncells + 1, self.num_filters), h_i.dtype)
             cv = cv.at[cell_i].max(h_i, mode="drop")
             return cv[:ncells]
-        h = jnp.where(valid[..., None], h, neg)
-        canvas = jax.vmap(canvas_one)(cell, h)             # (B, NC, C)
-        canvas = jnp.where(jnp.isfinite(canvas), canvas, 0.0)
-        return canvas.reshape(-1, ny, nx, self.num_filters)
+        h = jnp.where(valid[..., None], h, 0.0)
+        return jax.vmap(canvas_one)(cell, h)               # (B, NC, C)
+
+    # -- Pallas path (inference): sort + slab paint ----------------------
+
+    def _pallas_path(self, points, point_mask, kernel, bn_scale,
+                     bn_bias, ra_mean, ra_var):
+        from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+
+        nx, ny = self.grid
+        ncells = nx * ny
+        r = self.pc_range
+        cell, _, _, _ = self._cells(points, point_mask)
+
+        # Co-sort (cell, x, y, z, refl) along the point axis — the only
+        # data-dependent movement, at lax.sort speed.
+        cell_s, xs, ys, zs, rs = jax.lax.sort(
+            (cell, points[..., 0], points[..., 1], points[..., 2],
+             points[..., 3]), dimension=1, num_keys=1)
+
+        # Fold inference BN into the PFN weights: y = s*h + t.
+        s = bn_scale * jax.lax.rsqrt(ra_var + _BN_EPS)
+        t = bn_bias - s * ra_mean
+        w = kernel * s[None, :]                            # (9, C)
+
+        # Per-point linear term on ABSOLUTE decorations (f32: absolute
+        # coords do not survive bf16).
+        feats_abs = jnp.stack(
+            [xs, ys, zs, rs, xs, ys, zs, xs, ys], axis=-1)
+        u = feats_abs @ w                                  # (B, N, C) f32
+
+        # Pack [u | x y z 1 | pad] into the kernel's 128 channels:
+        # u is max-reduced per cell, xyz/count sum-reduced.
+        c = u.shape[-1]
+        ones = jnp.ones_like(xs)
+        packed = jnp.concatenate(
+            [u, jnp.stack([xs, ys, zs, ones], axis=-1),
+             jnp.zeros(u.shape[:2] + (128 - c - 4,), u.dtype)], axis=-1)
+
+        interpret = jax.devices()[0].platform != "tpu"
+        n = u.shape[1]
+        window = next(ww for ww in (512, 256, 128, n) if n % ww == 0)
+        table = segment_paint(
+            packed, cell_s, num_cells=ncells,
+            num_max=c, count_channel=c + 3,
+            slab=2048, window=window,
+            interpret=interpret)                           # (B, NC, 128)
+
+        umax = table[..., :c]
+        count = table[..., c + 3:c + 4]
+        mean = table[..., c:c + 3] / jnp.maximum(count, 1.0)
+        idx = jnp.arange(ncells, dtype=jnp.int32)
+        px = ((idx % nx).astype(jnp.float32) + 0.5) \
+            * self.voxel_size[0] + r[0]
+        py = ((idx // nx).astype(jnp.float32) + 0.5) \
+            * self.voxel_size[1] + r[1]
+        center = jnp.stack([px, py], axis=-1)              # (NC, 2)
+
+        b_cell = mean @ w[4:7] + center[None] @ w[7:9]     # (B, NC, C)
+        canvas = nn.relu(umax - b_cell + t[None, None])
+        canvas = jnp.where(count > 0.0, canvas, 0.0)
+        return canvas.astype(self.dtype)

@@ -187,6 +187,7 @@ class PointPillarsFused(nn.Module):
     backbone_up_strides: Sequence[int] = (1, 2, 4)
     backbone_up_filters: Sequence[int] = (128, 128, 128)
     dtype: jnp.dtype = jnp.float32
+    fast_encoder: bool = True      # Pallas paint path at inference
 
     @nn.compact
     def __call__(self, points, point_mask, train: bool = False):
@@ -196,7 +197,8 @@ class PointPillarsFused(nn.Module):
             pc_range=self.pc_range,
             voxel_size=self.voxel_size,
             grid=(self.grid_size[0], self.grid_size[1]),
-            dtype=self.dtype)(points, point_mask, train)
+            dtype=self.dtype,
+            fast_inference=self.fast_encoder)(points, point_mask, train)
         bev = BEVBackbone(
             layer_nums=tuple(self.backbone_layers),
             strides=tuple(self.backbone_strides),

@@ -1,10 +1,13 @@
 from lisec_tpu.parallel.mesh import (
-    make_mesh,
+    ProcessShardDataset,
     batch_sharding,
+    initialize_distributed,
+    make_mesh,
     replicated_sharding,
     shard_batch,
 )
 
 __all__ = [
-    "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+    "ProcessShardDataset", "batch_sharding", "initialize_distributed",
+    "make_mesh", "replicated_sharding", "shard_batch",
 ]

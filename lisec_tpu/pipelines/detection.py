@@ -101,7 +101,8 @@ class PointPillarsPipeline(Pipeline):
         )
         if self.fused:
             return PointPillarsFused(
-                pc_range=cfg.voxel.point_cloud_range, **common)
+                pc_range=cfg.voxel.point_cloud_range,
+                fast_encoder=bool(p.get("fast_encoder", True)), **common)
         return PointPillars(
             pc_range_min=cfg.voxel.point_cloud_range[:2], **common)
 

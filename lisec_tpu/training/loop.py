@@ -48,6 +48,16 @@ def run_training(cfg: Config, *, progress: bool = True):
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    # P2 — multi-host launcher: must run before any backend use so the
+    # mesh spans the global device list (SURVEY.md §2.4).
+    if cfg.train.multihost:
+        from lisec_tpu.parallel import initialize_distributed
+        initialize_distributed(
+            coordinator_address=cfg.train.coordinator or None,
+            num_processes=cfg.train.num_processes or None,
+            process_id=(cfg.train.process_id
+                        if cfg.train.process_id >= 0 else None))
+
     pipeline = build_model(cfg)
     state = pipeline.init_state(cfg.train.seed)
 
@@ -68,9 +78,19 @@ def run_training(cfg: Config, *, progress: bool = True):
     from lisec_tpu.data.collate import prefetch
 
     dataset = pipeline.make_dataset("train")
+    # P3 — per-host shard of the example list + local batch slice; the
+    # global batch is assembled in shard_batch via
+    # make_array_from_process_local_data (parallel/mesh.py).
+    local_batch_size = cfg.train.batch_size
+    if jax.process_count() > 1:
+        from lisec_tpu.parallel import ProcessShardDataset
+        dataset = ProcessShardDataset(dataset)
+        assert cfg.train.batch_size % jax.process_count() == 0, (
+            "global batch size must divide evenly across hosts")
+        local_batch_size = cfg.train.batch_size // jax.process_count()
     batches = prefetch(make_batches(
-        dataset, cfg.budget, cfg.train.batch_size,
-        shuffle=True, seed=cfg.train.seed,
+        dataset, cfg.budget, local_batch_size,
+        shuffle=True, seed=cfg.train.seed + jax.process_index(),
         augment_fn=pipeline.augment_fn("train")))
 
     rng = jax.random.PRNGKey(cfg.train.seed + 17)

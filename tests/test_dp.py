@@ -83,3 +83,42 @@ def test_entry_compiles(eight_devices):
     fn, args = g.entry()
     out = jax.jit(fn).lower(*args).compile()(*args)
     assert "boxes" in out
+
+
+class TestMultiHostPieces:
+    """P2/P3 units, exercised single-process (SURVEY.md §2.4): the
+    per-host dataset shard and the process-local global-batch assembly
+    (`make_array_from_process_local_data`) that multi-host runs use."""
+
+    def test_process_shard_dataset_partitions(self):
+        from lisec_tpu.parallel import ProcessShardDataset
+
+        data = list(range(103))
+        shards = [ProcessShardDataset(data, process_id=p, process_count=4)
+                  for p in range(4)]
+        # equal per-host length (ragged tail dropped)
+        assert all(len(s) == 103 // 4 for s in shards)
+        seen = sorted(x for s in shards for x in
+                      (s[i] for i in range(len(s))))
+        # disjoint, no duplicates
+        assert len(seen) == len(set(seen)) == 4 * (103 // 4)
+
+    def test_process_local_assembly_matches_device_put(self, eight_devices):
+        from lisec_tpu.parallel import batch_sharding, make_mesh
+
+        mesh = make_mesh(8)
+        sh = batch_sharding(mesh)
+        x = np.arange(16 * 5, dtype=np.float32).reshape(16, 5)
+        via_put = jax.device_put(x, sh)
+        # single-process: local data == global data
+        via_local = jax.make_array_from_process_local_data(sh, x)
+        np.testing.assert_array_equal(
+            np.asarray(via_put), np.asarray(via_local))
+        assert via_local.sharding == sh
+
+    def test_initialize_distributed_single_process_noop(self):
+        from lisec_tpu.parallel import initialize_distributed
+
+        # No coordinator in this environment: must not raise, must
+        # report that it skipped.
+        assert initialize_distributed() in (False,)

@@ -1,0 +1,135 @@
+"""Pallas slab-paint kernel (O1/O6 inference path) vs numpy oracle,
+and fast-encoder == reference-encoder equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+
+
+def _oracle(vals, cell, nc, num_max):
+    b, n, c = vals.shape
+    out = np.concatenate(
+        [np.full((b, nc, num_max), -3.0e38, np.float32),
+         np.zeros((b, nc, c - num_max), np.float32)], -1)
+    for bi in range(b):
+        for i in range(n):
+            ci = cell[bi, i]
+            if ci < nc:
+                out[bi, ci, :num_max] = np.maximum(
+                    out[bi, ci, :num_max], vals[bi, i, :num_max])
+                out[bi, ci, num_max:] += vals[bi, i, num_max:]
+    return out
+
+
+def _run(vals, cell, nc, **kw):
+    return np.asarray(segment_paint(
+        jnp.asarray(vals), jnp.asarray(cell), num_cells=nc,
+        num_max=64, count_channel=67, interpret=True, **kw))
+
+
+def _vals(rng, b, n):
+    v = rng.normal(size=(b, n, 128)).astype(np.float32)
+    v[..., 67] = 1.0
+    return v
+
+
+class TestSegmentPaint:
+    def test_random_vs_oracle(self, rng):
+        b, n, nc = 2, 512, 1000
+        cell = np.sort(rng.integers(0, nc + 1, (b, n)).astype(np.int32), -1)
+        vals = _vals(rng, b, n)
+        got = _run(vals, cell, nc, slab=256, window=128)
+        np.testing.assert_allclose(
+            got, _oracle(vals, cell, nc, 64), atol=1e-4)
+
+    def test_all_points_one_cell(self, rng):
+        b, n, nc = 1, 256, 600
+        cell = np.full((b, n), 300, np.int32)
+        vals = _vals(rng, b, n)
+        got = _run(vals, cell, nc, slab=256, window=128)
+        np.testing.assert_allclose(
+            got, _oracle(vals, cell, nc, 64), atol=1e-4)
+
+    def test_all_invalid(self, rng):
+        b, n, nc = 1, 256, 512
+        cell = np.full((b, n), nc, np.int32)      # sentinel everywhere
+        vals = _vals(rng, b, n)
+        got = _run(vals, cell, nc, slab=256, window=128)
+        assert (got[..., :64] == -3.0e38).all()
+        assert (got[..., 64:] == 0).all()
+
+    def test_cells_span_windows_and_slabs(self, rng):
+        # long runs of equal cells crossing window AND slab boundaries
+        b, n, nc = 1, 512, 700
+        runs = np.repeat(np.arange(0, 700, 37), 30)[:n]
+        cell = np.sort(runs.astype(np.int32))[None]
+        vals = _vals(rng, b, n)
+        got = _run(vals, cell, nc, slab=128, window=128)
+        np.testing.assert_allclose(
+            got, _oracle(vals, cell, nc, 64), atol=1e-4)
+
+
+class TestFastEncoderParity:
+    def test_fast_matches_reference(self, rng):
+        from lisec_tpu.models.pillar_encoder import FusedPillarEncoder
+
+        enc = FusedPillarEncoder(
+            num_filters=64, grid=(64, 64),
+            pc_range=(0.0, -20.48, -3.0, 10.24, 20.48, 1.0),
+            voxel_size=(0.16, 0.64), dtype=jnp.float32)
+        pts = rng.uniform([-1, -25, -4, 0], [12, 25, 2, 1],
+                          (2, 2048, 4)).astype(np.float32)
+        mask = rng.random((2, 2048)) > 0.1
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                     jnp.asarray(mask))
+        v = jax.tree.map(lambda x: x, v)
+        v = {"params": dict(v["params"]),
+             "batch_stats": dict(v["batch_stats"])}
+        # non-trivial BN stats so the inference fold is exercised
+        v["batch_stats"]["mean"] = jnp.asarray(
+            rng.normal(size=64) * 0.1, jnp.float32)
+        v["batch_stats"]["var"] = jnp.asarray(
+            1.0 + rng.random(64), jnp.float32)
+        v["params"]["bias"] = jnp.asarray(
+            rng.normal(size=64) * 0.1, jnp.float32)
+
+        fast = enc.apply(v, jnp.asarray(pts), jnp.asarray(mask),
+                         train=False)
+        slow_enc = FusedPillarEncoder(
+            num_filters=64, grid=(64, 64),
+            pc_range=(0.0, -20.48, -3.0, 10.24, 20.48, 1.0),
+            voxel_size=(0.16, 0.64), dtype=jnp.float32,
+            fast_inference=False)
+        slow = slow_enc.apply(v, jnp.asarray(pts), jnp.asarray(mask),
+                              train=False)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(slow), atol=2e-3)
+
+    def test_train_step_updates_batch_stats(self, rng):
+        from lisec_tpu.models.pillar_encoder import FusedPillarEncoder
+
+        enc = FusedPillarEncoder(
+            num_filters=16, grid=(32, 32),
+            pc_range=(0.0, -10.24, -3.0, 5.12, 10.24, 1.0),
+            voxel_size=(0.16, 0.64), dtype=jnp.float32)
+        pts = rng.uniform([-1, -12, -4, 0], [6, 12, 2, 1],
+                          (2, 512, 4)).astype(np.float32)
+        mask = np.ones((2, 512), bool)
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                     jnp.asarray(mask))
+        out, mut = enc.apply(v, jnp.asarray(pts), jnp.asarray(mask),
+                             train=True, mutable=["batch_stats"])
+        assert not np.allclose(np.asarray(mut["batch_stats"]["mean"]),
+                               np.asarray(v["batch_stats"]["mean"]))
+        # gradients flow through the reference path
+        def loss(params):
+            o = enc.apply({"params": params,
+                           "batch_stats": v["batch_stats"]},
+                          jnp.asarray(pts), jnp.asarray(mask),
+                          train=True, mutable=["batch_stats"])[0]
+            return jnp.sum(o ** 2)
+        g = jax.grad(loss)(v["params"])
+        assert float(jnp.abs(g["kernel"]).sum()) > 0
