@@ -138,21 +138,21 @@ def bench_inference(cfg: Config, *, batch_size: int = 8,
 def bench_voxelize(cfg: Config, *, batch_size: int = 8,
                    warmup: int = 2, iters: int = 20) -> Dict[str, float]:
     """Voxelization throughput in GB/s of point bytes processed."""
-    from lisec_tpu.ops.voxelize import voxelize
+    from lisec_tpu.ops.voxelize import voxelize_batch
 
     batch = _fixture_batch(cfg, batch_size)
     points = jnp.asarray(batch["points"])
     mask = jnp.asarray(batch["point_mask"])
 
     def vox_fn(p, m):
-        return jnp.sum(jax.vmap(lambda pp, mm: voxelize(
-            pp, mm,
+        return jnp.sum(voxelize_batch(
+            p, m,
             pc_range=cfg.voxel.point_cloud_range,
             voxel_size=cfg.voxel.voxel_size,
             grid_size=cfg.voxel.grid_size,
             max_voxels=cfg.budget.max_voxels,
             max_points_per_voxel=cfg.budget.max_points_per_voxel,
-        ).voxels)(p, m))
+        ).voxels)
 
     dt = chain_time(vox_fn, (points, mask), iters, measure_sync_floor())
     nbytes = points.size * points.dtype.itemsize

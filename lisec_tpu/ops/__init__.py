@@ -26,7 +26,7 @@ everything is XLA or Pallas, fully on device):
   O15 (host) lisec_tpu.eval.kitti_ap  offline AP evaluation
 """
 
-from lisec_tpu.ops.voxelize import voxelize, point_cell_ids
+from lisec_tpu.ops.voxelize import voxelize, voxelize_batch, point_cell_ids
 from lisec_tpu.ops.fps import farthest_point_sampling
 from lisec_tpu.ops.ball_query import ball_query
 from lisec_tpu.ops.grouping import group_points, gather_points
@@ -50,7 +50,7 @@ from lisec_tpu.ops.sparse_conv import (
 )
 
 __all__ = [
-    "voxelize", "point_cell_ids",
+    "voxelize", "voxelize_batch", "point_cell_ids",
     "farthest_point_sampling",
     "ball_query",
     "group_points", "gather_points",

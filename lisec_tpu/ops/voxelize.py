@@ -1,11 +1,27 @@
 """O1 — voxelization / pillarization (SURVEY.md §2.3 O1).
 
 Reference form: CUDA point->voxel hash with a dynamic number of voxels.
-TPU-native design: **two-pass sort-then-segment** into *fixed budgets*
-(``max_voxels`` cells x ``max_points_per_voxel`` points), fully
-vectorized (one sort + a few scatters — no atomics, no data-dependent
-shapes), deterministic: points are binned in (cell_id, point_index)
-order, so overflow beyond either budget is dropped reproducibly.
+TPU-native design: **sort-then-spread** into *fixed budgets*
+(``max_voxels`` cells x ``max_points_per_voxel`` points), deterministic
+(points bin in (cell_id, point_index) order, so overflow beyond either
+budget drops reproducibly).
+
+Round-2 rework, driven by the measured ~2 GB/s XLA scatter/gather
+ceiling (benchmarks/profile_scatter.py):
+
+  1. ONE multi-operand ``lax.sort`` co-sorts (cell, index, channels) —
+     no argsort + take_along_axis (gathers pay the same ceiling).
+  2. Segment ranks come from cumsum / running-max scans (cheap on
+     scalar channels).
+  3. Each kept point's flat slot ``rank * K + within_rank`` is unique
+     and strictly increasing, so filling the (P, K, C) buffer is a pure
+     SPREAD — done by the Pallas slab-paint kernel
+     (ops/pallas/pillar_paint.py) whose sum-reduction over unique
+     targets is an exact selection. Per-voxel counts and [z, y, x]
+     coords ride along as extra channels (coords stored +1 so empty
+     rows decode to -1), eliminating their scatters too.
+  4. ``point_voxel`` (original point order) comes from an inverse
+     2-operand co-sort, not a scatter.
 
 The driver metric "voxelization GB/s" (BASELINE.json:2) is measured on
 this op by ``bench.py``/``benchmarks/``.
@@ -21,14 +37,14 @@ import jax.numpy as jnp
 
 
 class VoxelizationResult(NamedTuple):
-    """Fixed-shape voxelization output.
+    """Fixed-shape voxelization output (leading batch axis optional).
 
-    voxels:      (P, K, C) point features grouped per cell (zero padded)
-    coords:      (P, 3) int32 cell coords (zx_order: [z, y, x]); -1 where invalid
-    num_points:  (P,) int32 valid points in each cell
-    num_voxels:  () int32 number of valid cells (<= P)
-    point_voxel: (N,) int32 index of the voxel each point landed in, -1 if
-                 the point was dropped (out of range / overflow)
+    voxels:      (..., P, K, C) point features grouped per cell (zero padded)
+    coords:      (..., P, 3) int32 cell coords ([z, y, x]); -1 where invalid
+    num_points:  (..., P) int32 valid points in each cell
+    num_voxels:  (...,) int32 number of valid cells (<= P)
+    point_voxel: (..., N) int32 index of the voxel each point landed in,
+                 -1 if the point was dropped (out of range / overflow)
     """
 
     voxels: jax.Array
@@ -47,8 +63,9 @@ def point_cell_ids(
 ) -> Tuple[jax.Array, jax.Array]:
     """Map each point to a linearized grid cell id.
 
-    Returns (cell_id (N,) int32, in_range (N,) bool). Out-of-range or
-    masked points get cell_id = num_cells (a sentinel that sorts last).
+    Returns (cell_id (..., N) int32, in_range (..., N) bool).
+    Out-of-range or masked points get cell_id = num_cells (a sentinel
+    that sorts last).
     """
     nx, ny, nz = grid_size
     x, y, z = points[..., 0], points[..., 1], points[..., 2]
@@ -71,6 +88,116 @@ def point_cell_ids(
 @partial(jax.jit, static_argnames=(
     "pc_range", "voxel_size", "grid_size", "max_voxels",
     "max_points_per_voxel"))
+def voxelize_batch(
+    points: jax.Array,
+    point_mask: jax.Array,
+    *,
+    pc_range: Tuple[float, ...],
+    voxel_size: Tuple[float, ...],
+    grid_size: Tuple[int, int, int],
+    max_voxels: int,
+    max_points_per_voxel: int,
+) -> VoxelizationResult:
+    """Deterministic fixed-budget voxelization of a batch of clouds.
+
+    Args:
+      points: (B, N, C) float — first 3 channels are x, y, z.
+      point_mask: (B, N) bool/int — valid-point mask (padding = 0).
+
+    Voxel order is ascending cell id. Overflow policy: points beyond K
+    per cell drop in point-index order; cells beyond P drop in cell-id
+    order.
+    """
+    from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+
+    b, n, c = points.shape
+    kk = max_points_per_voxel
+    nx, ny, _ = grid_size[0], grid_size[1], grid_size[2]
+    num_cells = grid_size[0] * grid_size[1] * grid_size[2]
+    assert c + 4 <= 8, ("slot packing stores C point channels + count "
+                        "+ 3 coords in an 8-lane record; C must be <= 4")
+
+    cell, _ = point_cell_ids(points, point_mask, pc_range, voxel_size,
+                             grid_size)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+
+    # One co-sort: (cell, original index) keys make it deterministic;
+    # the point channels ride along (no argsort+gather).
+    sorted_ops = jax.lax.sort(
+        (cell, idx) + tuple(points[..., j] for j in range(c)),
+        dimension=1, num_keys=2)
+    cell_s, idx_s = sorted_ops[0], sorted_ops[1]
+    pts_s = jnp.stack(sorted_ops[2:], axis=-1)          # (B, N, C)
+    valid_s = cell_s < num_cells
+
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, cell_s.dtype), cell_s[:, :-1]], axis=1)
+    is_start = (cell_s != prev) & valid_s
+    voxel_rank = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    num_voxels_total = jnp.where(
+        valid_s.any(axis=1), voxel_rank[:, -1] + 1, 0)
+    num_voxels = jnp.minimum(num_voxels_total, max_voxels)
+
+    pos = idx  # 0..n-1 per row
+    start_idx = jnp.where(is_start, pos, 0)
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, start_idx, axis=1)                 # running max
+    within = pos - seg_start
+
+    keep = valid_s & (voxel_rank < max_voxels) & (within < kk)
+    slot = voxel_rank * kk + within                     # strictly increasing
+
+    # Per-point 8-channel record: [point C.. | count | coords+1] (+1 so
+    # empty rows decode to -1 after the subtraction).
+    cell_clip = jnp.minimum(cell_s, num_cells - 1)
+    cz = (cell_clip // (nx * ny)).astype(jnp.float32)
+    cy = ((cell_clip // nx) % ny).astype(jnp.float32)
+    cx = (cell_clip % nx).astype(jnp.float32)
+    ones = jnp.ones((b, n), jnp.float32)
+    rec = jnp.concatenate(
+        [pts_s.astype(jnp.float32),
+         jnp.stack([ones, cz + 1, cy + 1, cx + 1], axis=-1),
+         jnp.zeros((b, n, 8 - c - 4), jnp.float32)], axis=-1)  # (B,N,8)
+
+    # Pack 16 slots per 128-lane table row: each point's 8 channels go
+    # to lane offset 8*(slot % 16) (a cheap outer product — slots are
+    # unique, so lane-disjoint SUM routing reconstructs them exactly).
+    # A 128-lane row per slot would write a 16x larger table (measured:
+    # the table I/O dominated the whole op).
+    total_slots = max_voxels * kk
+    num_rows = -(-total_slots // 16)
+    sub = jax.nn.one_hot(slot % 16, 16, dtype=jnp.float32)    # (B,N,16)
+    packed = (sub[..., :, None] * rec[..., None, :]).reshape(b, n, 128)
+    row = jnp.where(keep, slot // 16, num_rows)
+
+    window = next(w for w in (512, 256, 128, n) if n % w == 0)
+    interpret = jax.devices()[0].platform != "tpu"
+    table = segment_paint(
+        packed, row, num_cells=num_rows,
+        num_max=0, count_channel=8, slab=2048, window=window,
+        interpret=interpret)                      # (B, ~P*K/16, 128)
+    table = table.reshape(b, num_rows * 16, 8)[:, :total_slots]
+    table = table.reshape(b, max_voxels, kk, 8)
+
+    voxels = table[..., :c].astype(points.dtype)        # (B, P, K, C)
+    num_points = jnp.round(
+        jnp.sum(table[..., c], axis=-1)).astype(jnp.int32)
+    # Slot 0 is always filled for non-empty voxels (within-rank 0).
+    coords = (table[:, :, 0, c + 1:c + 4] - 1.0).astype(jnp.int32)
+
+    # point_voxel in ORIGINAL point order: invert the sort with a
+    # 2-operand co-sort on the carried original indices (no scatter).
+    pv_sorted = jnp.where(keep, voxel_rank, -1)
+    _, point_voxel = jax.lax.sort(
+        (idx_s, pv_sorted), dimension=1, num_keys=1)
+
+    return VoxelizationResult(voxels, coords, num_points, num_voxels,
+                              point_voxel)
+
+
+@partial(jax.jit, static_argnames=(
+    "pc_range", "voxel_size", "grid_size", "max_voxels",
+    "max_points_per_voxel"))
 def voxelize(
     points: jax.Array,
     point_mask: jax.Array,
@@ -81,80 +208,10 @@ def voxelize(
     max_voxels: int,
     max_points_per_voxel: int,
 ) -> VoxelizationResult:
-    """Deterministic fixed-budget voxelization of one padded cloud.
-
-    Args:
-      points: (N, C) float — first 3 channels are x, y, z.
-      point_mask: (N,) bool/int — valid-point mask (padding = 0).
-
-    Algorithm (all static shapes):
-      1. cell id per point; invalid -> sentinel.
-      2. stable sort point indices by cell id (ties keep point order).
-      3. segment boundaries give each cell a dense rank and each point a
-         within-cell rank.
-      4. scatter points with (cell rank < P, within rank < K) into the
-         (P, K, C) buffer.
-
-    Voxel order is ascending cell id (deterministic). Overflow policy:
-    points beyond K per cell are dropped in point-index order; cells
-    beyond P are dropped in cell-id order.
-    """
-    n = points.shape[0]
-    num_cells = grid_size[0] * grid_size[1] * grid_size[2]
-    cell, _ = point_cell_ids(points, point_mask, pc_range, voxel_size, grid_size)
-
-    order = jnp.argsort(cell, stable=True)              # (N,) point indices
-    cell_sorted = cell[order]
-    valid_sorted = cell_sorted < num_cells
-
-    # Segment starts: first occurrence of each cell id in sorted order.
-    prev = jnp.concatenate([jnp.full((1,), -1, cell_sorted.dtype), cell_sorted[:-1]])
-    is_start = (cell_sorted != prev) & valid_sorted
-    # Dense rank of each point's cell among occupied cells (0-based).
-    voxel_rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1      # (N,)
-    num_voxels_total = jnp.where(valid_sorted.any(), voxel_rank[-1] + 1, 0)
-    num_voxels = jnp.minimum(num_voxels_total, max_voxels)
-
-    # Within-cell rank: position since the segment start.
-    idx = jnp.arange(n, dtype=jnp.int32)
-    start_idx = jnp.where(is_start, idx, 0)
-    seg_start = jax.lax.associative_scan(jnp.maximum, start_idx)  # running max
-    within_rank = idx - seg_start
-
-    keep = (
-        valid_sorted
-        & (voxel_rank < max_voxels)
-        & (within_rank < max_points_per_voxel)
-    )
-
-    # Scatter sorted points into the fixed buffer. Dropped points go to a
-    # trash row (index P) that is sliced off afterwards.
-    vr = jnp.where(keep, voxel_rank, max_voxels)
-    wr = jnp.where(keep, within_rank, 0)
-    buf = jnp.zeros(
-        (max_voxels + 1, max_points_per_voxel, points.shape[1]), points.dtype)
-    buf = buf.at[vr, wr].set(points[order], mode="drop")
-    voxels = buf[:max_voxels]
-
-    counts = jnp.zeros((max_voxels + 1,), jnp.int32)
-    counts = counts.at[vr].add(keep.astype(jnp.int32), mode="drop")
-    num_points = counts[:max_voxels]
-
-    # Cell coords per voxel: scatter the (z,y,x) decomposition from the
-    # segment-start points.
-    cell_clip = jnp.minimum(cell_sorted, num_cells - 1)
-    nx, ny = grid_size[0], grid_size[1]
-    cz = cell_clip // (nx * ny)
-    cy = (cell_clip // nx) % ny
-    cx = cell_clip % nx
-    coords_full = jnp.stack([cz, cy, cx], axis=-1).astype(jnp.int32)  # (N, 3)
-    cbuf = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
-    cvr = jnp.where(is_start & (voxel_rank < max_voxels), voxel_rank, max_voxels)
-    cbuf = cbuf.at[cvr].set(coords_full, mode="drop")
-    coords = cbuf[:max_voxels]
-
-    # Per-point voxel assignment (in original point order).
-    pv_sorted = jnp.where(keep, voxel_rank, -1)
-    point_voxel = jnp.zeros((n,), jnp.int32).at[order].set(pv_sorted)
-
-    return VoxelizationResult(voxels, coords, num_points, num_voxels, point_voxel)
+    """Single-cloud wrapper of :func:`voxelize_batch` (points (N, C))."""
+    out = voxelize_batch(
+        points[None], point_mask[None],
+        pc_range=pc_range, voxel_size=voxel_size, grid_size=grid_size,
+        max_voxels=max_voxels,
+        max_points_per_voxel=max_points_per_voxel)
+    return VoxelizationResult(*(x[0] for x in out))

@@ -28,11 +28,12 @@ from lisec_tpu.models.pointpillars import PointPillars, PointPillarsFused
 from lisec_tpu.models.second import SECONDNet
 from lisec_tpu.ops.boxes import decode_boxes
 from lisec_tpu.ops.nms import rotated_nms
-from lisec_tpu.ops.voxelize import voxelize
+from lisec_tpu.ops.voxelize import voxelize_batch
 from lisec_tpu.pipelines.base import Pipeline
 from lisec_tpu.registry import register_pipeline, register_model
 from lisec_tpu.training.assigner import (
-    DEFAULT_ANCHORS, AnchorConfig, assign_targets, generate_anchors)
+    DEFAULT_ANCHORS, AnchorConfig, assign_targets,
+    assign_targets_windowed, generate_anchors)
 from lisec_tpu.training.losses import (
     cross_entropy, sigmoid_focal_loss, sin_difference, smooth_l1)
 
@@ -69,6 +70,10 @@ class PointPillarsPipeline(Pipeline):
         self.anchor_classes = jnp.asarray(acls)
         self.pos_thr = jnp.asarray(pos_t)
         self.neg_thr = jnp.asarray(neg_t)
+        self.class_sizes = jnp.asarray(
+            [c.size for c in anchor_cfgs], jnp.float32)
+        self.class_z = jnp.asarray(
+            [c.z_center for c in anchor_cfgs], jnp.float32)
 
         self.model = self.build_model(cfg)
         self.loss_weights = {
@@ -79,6 +84,11 @@ class PointPillarsPipeline(Pipeline):
         self.nms_iou = float(p.get("nms_iou", 0.5))
         self.score_thr = float(p.get("score_threshold", 0.1))
         self.assign_row_chunk = int(p.get("assign_row_chunk", 4096))
+        # Windowed assigner (50x less IoU work; 0 = dense reference).
+        # The window must cover gt_diag + anchor_diag; clamp so it
+        # never exceeds the feature map.
+        self.assign_window = min(int(p.get("assign_window", 32)),
+                                 min(self.fmap))
 
     def build_model(self, cfg: Config):
         p = cfg.model.params
@@ -136,15 +146,14 @@ class PointPillarsPipeline(Pipeline):
 
     def _voxelize_batch(self, points, point_mask):
         cfg = self.cfg
-        vox = jax.vmap(lambda p, m: voxelize(
-            p, m,
+        return voxelize_batch(
+            points, point_mask,
             pc_range=cfg.voxel.point_cloud_range,
             voxel_size=cfg.voxel.voxel_size,
             grid_size=self.grid,
             max_voxels=cfg.budget.max_voxels,
             max_points_per_voxel=cfg.budget.max_points_per_voxel,
-        ))(points, point_mask)
-        return vox
+        )
 
     def _model_args(self, batch):
         if getattr(self, "fused", False):
@@ -172,10 +181,22 @@ class PointPillarsPipeline(Pipeline):
         preds, new_bs = self._forward(
             params, batch_stats, batch, train, rng)
 
-        assign = jax.vmap(lambda b, c, m: assign_targets(
-            self.anchors, self.anchor_classes, self.pos_thr, self.neg_thr,
-            b, c, m, row_chunk=self.assign_row_chunk))(
-                batch["gt_boxes"], batch["gt_classes"], batch["gt_mask"])
+        if self.assign_window:
+            assign = jax.vmap(lambda b, c, m: assign_targets_windowed(
+                self.anchors, self.anchor_classes, self.pos_thr,
+                self.neg_thr, self.class_sizes, self.class_z, b, c, m,
+                feature_map_size=self.fmap,
+                pc_range=tuple(self.cfg.voxel.point_cloud_range),
+                window=self.assign_window))(
+                    batch["gt_boxes"], batch["gt_classes"],
+                    batch["gt_mask"])
+        else:
+            assign = jax.vmap(lambda b, c, m: assign_targets(
+                self.anchors, self.anchor_classes, self.pos_thr,
+                self.neg_thr, b, c, m,
+                row_chunk=self.assign_row_chunk))(
+                    batch["gt_boxes"], batch["gt_classes"],
+                    batch["gt_mask"])
 
         pos = assign.positive                              # (B, A)
         num_pos = jnp.maximum(jnp.sum(pos), 1.0)

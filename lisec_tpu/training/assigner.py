@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lisec_tpu.ops.boxes import encode_boxes
-from lisec_tpu.ops.rotated_iou import rotated_iou_matrix
+from lisec_tpu.ops.rotated_iou import rotated_iou_bev, rotated_iou_matrix
 
 
 class AnchorConfig(NamedTuple):
@@ -80,6 +80,151 @@ class AssignResult(NamedTuple):
     reg_targets: jax.Array      # (A, 7) encoded residuals
     dir_targets: jax.Array      # (A,) int32 direction bin
     positive: jax.Array         # (A,) bool
+
+
+@partial(jax.jit, static_argnames=("feature_map_size", "pc_range",
+                                   "window"))
+def assign_targets_windowed(
+    anchors: jax.Array,          # (A, 7) flat anchor constants
+    anchor_classes: jax.Array,   # (A,) int32
+    pos_thr: jax.Array,          # (A,)
+    neg_thr: jax.Array,          # (A,)
+    class_sizes: jax.Array,      # (C, 3) anchor (l, w, h) per class
+    class_z: jax.Array,          # (C,)
+    gt_boxes: jax.Array,         # (M, 7)
+    gt_classes: jax.Array,       # (M,) int32
+    gt_mask: jax.Array,          # (M,) bool
+    *,
+    feature_map_size: Tuple[int, int],    # (ny, nx)
+    pc_range: Tuple[float, ...],
+    window: int = 32,
+) -> AssignResult:
+    """Windowed target assignment — identical outputs to
+    :func:`assign_targets`, ~50x less IoU work.
+
+    The dense assigner evaluates a (107k anchors x M gts) rotated-IoU
+    matrix per frame (~570 ms/batch-4 measured — 74% of the train
+    step). But anchors sit on a REGULAR grid, and IoU is identically 0
+    once center distance exceeds (gt diag + anchor diag)/2, so each gt
+    only interacts with a `window`-cell square around it. Window anchor
+    parameters are generated ARITHMETICALLY from the grid (no gather),
+    IoU runs on (M, window², C, R) pairs, and the per-anchor reductions
+    go back through a handful of scalar scatters:
+
+      * best_iou: scatter-max of pair IoUs (order independent);
+      * best_gt:  gather-back + float-equality winner test, then
+        scatter-min of gt index (ties -> lowest gt, matching argmax);
+      * forced match: per-gt argmax within its own window (the global
+        best lives there by construction; flattened window order equals
+        global anchor-index order for a fixed gt, so ties break
+        identically).
+
+    Outside-window anchors keep best_iou = -1 (dense: 0 or -1) — both
+    are below every neg threshold, so cls/reg/dir outputs agree.
+    `window` must satisfy window * cell_size >= gt_diag + anchor_diag
+    (32 cells x 0.32 m covers KITTI cars with margin).
+    """
+    a = anchors.shape[0]
+    m = gt_boxes.shape[0]
+    ny, nx = feature_map_size
+    num_cls = class_sizes.shape[0]
+    num_rot = len(ROTATIONS)
+    r_per_cell = num_cls * num_rot
+    step_x = (pc_range[3] - pc_range[0]) / nx
+    step_y = (pc_range[4] - pc_range[1]) / ny
+    w = window
+
+    # Window origin per gt, clamped so the window stays on the grid.
+    gx = (gt_boxes[:, 0] - pc_range[0]) / step_x - 0.5
+    gy = (gt_boxes[:, 1] - pc_range[1]) / step_y - 0.5
+    gx0 = jnp.clip(jnp.round(gx).astype(jnp.int32) - w // 2, 0,
+                   max(nx - w, 0))
+    gy0 = jnp.clip(jnp.round(gy).astype(jnp.int32) - w // 2, 0,
+                   max(ny - w, 0))
+
+    dy = jnp.arange(w, dtype=jnp.int32)
+    dx = jnp.arange(w, dtype=jnp.int32)
+    iy = gy0[:, None] + dy[None, :]                     # (M, w)
+    ix = gx0[:, None] + dx[None, :]                     # (M, w)
+
+    # Window anchors, arithmetically: (M, w, w, C, R, 7).
+    ax = (pc_range[0] + (ix.astype(jnp.float32) + 0.5) * step_x)
+    ay = (pc_range[1] + (iy.astype(jnp.float32) + 0.5) * step_y)
+    ax_b = jnp.broadcast_to(ax[:, None, :, None, None], (m, w, w, num_cls, num_rot))
+    ay_b = jnp.broadcast_to(ay[:, :, None, None, None], (m, w, w, num_cls, num_rot))
+    az = jnp.broadcast_to(class_z[None, None, None, :, None],
+                          (m, w, w, num_cls, num_rot))
+    asz = jnp.broadcast_to(class_sizes[None, None, None, :, None, :],
+                           (m, w, w, num_cls, num_rot, 3))
+    rot = jnp.asarray(ROTATIONS, jnp.float32)
+    arot = jnp.broadcast_to(rot[None, None, None, None, :],
+                            (m, w, w, num_cls, num_rot))
+    win_anchors = jnp.concatenate(
+        [jnp.stack([ax_b, ay_b, az], -1), asz, arot[..., None]], -1)
+
+    gt_b = gt_boxes[:, None, None, None, None, :]
+    iou = rotated_iou_bev(win_anchors, gt_b)            # (M, w, w, C, R)
+    cls_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (m, w, w, num_cls, num_rot), 3)
+    pair_ok = (gt_mask.astype(bool)[:, None, None, None, None]
+               & (cls_idx == gt_classes[:, None, None, None, None]))
+    iou = jnp.where(pair_ok, iou, -1.0)
+
+    # Global flat anchor index of each window slot ((y, x, cls, rot)
+    # layout matches generate_anchors).
+    rot_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (m, w, w, num_cls, num_rot), 4)
+    aidx = ((iy[:, :, None, None, None] * nx
+             + ix[:, None, :, None, None]) * r_per_cell
+            + cls_idx * num_rot + rot_idx)              # (M, w, w, C, R)
+
+    k = w * w * num_cls * num_rot
+    iou_f = iou.reshape(m * k)
+    ok_f = pair_ok.reshape(m * k)
+    aidx_f = jnp.where(ok_f, aidx.reshape(m * k), a)
+    gt_idx_f = jnp.repeat(jnp.arange(m, dtype=jnp.int32), k)
+
+    best_iou = jnp.full((a + 1,), -1.0).at[aidx_f].max(
+        iou_f, mode="drop")[:a]
+    # Winner pairs: exact float equality against the gathered max (the
+    # same computed value round-trips the scatter).
+    got = jnp.concatenate([best_iou, jnp.full((1,), -1.0)])[aidx_f]
+    winner = ok_f & (iou_f >= 0) & (iou_f == got)
+    best_gt = jnp.full((a + 1,), m, jnp.int32).at[
+        jnp.where(winner, aidx_f, a)].min(gt_idx_f, mode="drop")[:a]
+    best_gt = jnp.where(best_iou >= 0, best_gt, 0)
+
+    # Forced match: per-gt argmax within its window (lowest flat index
+    # on ties == dense argmax tie-break).
+    iou_per_gt = iou.reshape(m, k)
+    best_k = jnp.argmax(iou_per_gt, axis=1)
+    gt_best_anchor = jnp.take_along_axis(
+        aidx.reshape(m, k), best_k[:, None], axis=1)[:, 0]
+    gt_has_overlap = jnp.max(iou_per_gt, axis=1) > 0
+    gt_claims = gt_mask.astype(bool) & gt_has_overlap
+    claim_idx = jnp.where(gt_claims, gt_best_anchor, a)
+    forced = jnp.zeros((a,), bool).at[claim_idx].set(True, mode="drop")
+    claimed_gt = jnp.zeros((a,), jnp.int32).at[claim_idx].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop")
+    best_gt = jnp.where(forced, claimed_gt, best_gt)
+
+    positive = (best_iou >= pos_thr) | forced
+    negative = (best_iou < neg_thr) & ~positive
+
+    # matched gt rows via one-hot matmul (a 107k-row gather from a
+    # 64-row table costs more than 96 MFLOP on the MXU).
+    onehot = jax.nn.one_hot(best_gt, m, dtype=jnp.float32)
+    matched_boxes = onehot @ gt_boxes                   # (A, 7)
+    matched_cls = jnp.round(
+        onehot @ gt_classes.astype(jnp.float32)).astype(jnp.int32)
+    reg_targets = encode_boxes(matched_boxes, anchors)
+    dir_targets = (jnp.mod(matched_boxes[:, 6], 2 * jnp.pi)
+                   < jnp.pi).astype(jnp.int32)
+
+    cls_targets = jnp.where(
+        positive, matched_cls + 1,
+        jnp.where(negative, 0, -1)).astype(jnp.int32)
+    return AssignResult(cls_targets, reg_targets, dir_targets, positive)
 
 
 @partial(jax.jit, static_argnames=("row_chunk",))

@@ -81,3 +81,70 @@ class TestPointPillars:
         assert losses[-1] < losses[0]
         metrics = pipeline.evaluate(state, max_batches=2)
         assert metrics["mean_detections"] >= 0  # smoke: eval runs
+
+
+class TestWindowedAssigner:
+    """assign_targets_windowed must reproduce the dense assigner's
+    loss-relevant outputs (cls_targets, positive, and reg/dir on
+    positives) on realistic frames."""
+
+    def _both(self, pipeline, gt, gt_cls, gt_mask, window=32):
+        from lisec_tpu.training.assigner import (
+            assign_targets, assign_targets_windowed)
+        args = (pipeline.anchors, pipeline.anchor_classes,
+                pipeline.pos_thr, pipeline.neg_thr)
+        dense = assign_targets(*args, jnp.asarray(gt),
+                               jnp.asarray(gt_cls), jnp.asarray(gt_mask))
+        win = assign_targets_windowed(
+            *args, pipeline.class_sizes, pipeline.class_z,
+            jnp.asarray(gt), jnp.asarray(gt_cls), jnp.asarray(gt_mask),
+            feature_map_size=pipeline.fmap,
+            pc_range=tuple(pipeline.cfg.voxel.point_cloud_range),
+            window=min(window, min(pipeline.fmap)))
+        return dense, win
+
+    def _check(self, dense, win):
+        np.testing.assert_array_equal(
+            np.asarray(dense.positive), np.asarray(win.positive))
+        np.testing.assert_array_equal(
+            np.asarray(dense.cls_targets), np.asarray(win.cls_targets))
+        pos = np.asarray(dense.positive)
+        np.testing.assert_allclose(
+            np.asarray(dense.reg_targets)[pos],
+            np.asarray(win.reg_targets)[pos], atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(dense.dir_targets)[pos],
+            np.asarray(win.dir_targets)[pos])
+
+    def test_random_frames_match_dense(self, pipeline, rng):
+        pc = pipeline.cfg.voxel.point_cloud_range
+        for _ in range(3):
+            m = 8
+            gt = np.zeros((m, 7), np.float32)
+            gt[:, 0] = rng.uniform(pc[0] + 3, pc[3] - 3, m)
+            gt[:, 1] = rng.uniform(pc[1] + 3, pc[4] - 3, m)
+            gt[:, 2] = rng.uniform(-1.5, -0.5, m)
+            gt[:, 3] = rng.uniform(3.2, 4.6, m)
+            gt[:, 4] = rng.uniform(1.4, 1.9, m)
+            gt[:, 5] = rng.uniform(1.4, 1.8, m)
+            gt[:, 6] = rng.uniform(-np.pi, np.pi, m)
+            gt_cls = np.zeros(m, np.int32)
+            gt_mask = rng.random(m) > 0.3
+            dense, win = self._both(pipeline, gt, gt_cls, gt_mask)
+            self._check(dense, win)
+
+    def test_perfect_anchor_and_edges(self, pipeline):
+        anchors = np.asarray(pipeline.anchors)
+        gt = np.zeros((4, 7), np.float32)
+        gt[0] = anchors[137]          # exact anchor
+        gt[1] = anchors[-2]           # grid corner
+        gt_cls = np.zeros(4, np.int32)
+        gt_mask = np.array([True, True, False, False])
+        dense, win = self._both(pipeline, gt, gt_cls, gt_mask)
+        self._check(dense, win)
+
+    def test_empty_frame(self, pipeline):
+        gt = np.zeros((4, 7), np.float32)
+        dense, win = self._both(pipeline, gt, np.zeros(4, np.int32),
+                                np.zeros(4, bool))
+        self._check(dense, win)
