@@ -25,7 +25,12 @@ def load_cloud(path: str) -> np.ndarray:
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".bin":
-        return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        raw = np.fromfile(path, dtype=np.float32)
+        if raw.size % 4:
+            raise ValueError(
+                f"{path!r}: KITTI .bin must hold N x 4 float32 values, "
+                f"got {raw.size} floats (not divisible by 4)")
+        return raw.reshape(-1, 4)
     if ext == ".npy":
         return np.load(path).astype(np.float32)
     if ext == ".npz":

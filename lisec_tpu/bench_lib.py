@@ -162,16 +162,81 @@ def bench_voxelize(cfg: Config, *, batch_size: int = 8,
     }
 
 
-def run_benchmark(cfg: Config, *, batch_size: int = 8) -> Dict:
+def bench_second(*, batch_size: int = 4, iters: int = 10) -> Dict[str, float]:
+    """Workload-4 (SECOND sparse-conv detector) device-resident
+    inference + stage split: voxelize, rulebook build, sparse encoder.
+    """
+    from lisec_tpu.api import build_model
+    from lisec_tpu.config import apply_overrides, load_config
+
+    cfg = load_config("configs/second_kitti.yaml")
+    cfg = apply_overrides(cfg, [
+        "data.fixture=true", "data.fixture_size=8",
+        "data.augment.enabled=false", "train.ckpt_dir=",
+        f"train.batch_size={batch_size}",
+    ])
+    pipeline = build_model(cfg)
+    state = pipeline.init_state(cfg.train.seed)
+    batch = _fixture_batch(cfg, batch_size)
+    pts = jnp.asarray(batch["points"])
+    mask = jnp.asarray(batch["point_mask"])
+    floor = measure_sync_floor()
+
+    def dev_fn(p, m):
+        return jnp.sum(pipeline.predict(
+            state.params, state.batch_stats,
+            {"points": p, "point_mask": m})["boxes"])
+    dt = chain_time(dev_fn, (pts, mask), iters, floor)
+
+    # Stage: scatter-rulebook build for the level-0 submanifold conv
+    # (the per-cloud geometry work; conv GEMMs ride the predict number).
+    from lisec_tpu.ops.sparse_conv import (
+        SparseConvSpec, build_scatter_rulebook)
+
+    vox = pipeline._voxelize_batch(pts, mask)
+    nx, ny, nz = cfg.voxel.grid_size
+    spec = SparseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1), (nz, ny, nx))
+
+    def rb_fn(coords_f, num):
+        coords = coords_f.astype(jnp.int32)
+        rb = build_scatter_rulebook(coords, num, coords, num, spec)
+        return jnp.sum(rb.astype(jnp.float32))
+    dt_rb = chain_time(
+        rb_fn, (vox.coords.astype(jnp.float32), vox.num_voxels),
+        iters, floor)
+
+    return {
+        "second_clouds_per_sec": batch_size / dt,
+        "second_device_ms_per_batch": 1e3 * dt,
+        "second_rulebook_ms_per_batch": 1e3 * dt_rb,
+        "second_batch_size": batch_size,
+    }
+
+
+def run_benchmark(cfg: Config, *, batch_size: int = 8,
+                  include_second: bool | None = None) -> Dict:
     inf = bench_inference(cfg, batch_size=batch_size)
     vox = bench_voxelize(cfg, batch_size=batch_size)
+    sec: Dict[str, float] = {}
+    if include_second is None:
+        # The SECOND program costs ~30 min of (uncached) remote Mosaic
+        # compiles on this box; keep the driver's headline bench fast
+        # and record SECOND numbers via benchmarks/ artifacts instead.
+        import os
+        include_second = os.environ.get("BENCH_SECOND") == "1"
+    if include_second:
+        try:
+            sec = bench_second(batch_size=max(batch_size // 2, 1))
+        except Exception as e:          # keep the headline metric alive
+            sec = {"second_error": str(e)[:120]}
     value = inf["clouds_per_sec"]
+    rnd = lambda d: {k: (round(v, 3) if isinstance(v, float) else v)
+                     for k, v in d.items()}
     return {
         "metric": "kitti_clouds_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "clouds/s",
         "vs_baseline": round(value / NORTH_STAR_CLOUDS_PER_SEC, 4),
-        "detail": {**{k: round(v, 3) for k, v in inf.items()},
-                   **{k: round(v, 3) for k, v in vox.items()},
+        "detail": {**rnd(inf), **rnd(vox), **rnd(sec),
                    "device": str(jax.devices()[0]).strip()},
     }

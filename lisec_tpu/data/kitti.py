@@ -32,6 +32,12 @@ class Calibration:
                 key, rest = line.split(":", 1)
                 vals[key.strip()] = np.array(
                     [float(v) for v in rest.split()], np.float64)
+        missing = [k for k in ("P2", "R0_rect", "Tr_velo_to_cam")
+                   if k not in vals]
+        if missing:
+            raise ValueError(
+                f"calib file {path!r} is missing keys {missing} "
+                "(expected KITTI 'key: values' lines)")
         self.P2 = vals["P2"].reshape(3, 4)
         self.R0 = vals["R0_rect"].reshape(3, 3)
         self.Tr_velo_to_cam = vals["Tr_velo_to_cam"].reshape(3, 4)

@@ -119,6 +119,141 @@ def evaluate_kitti_ap(
     return results
 
 
+def _get_thresholds(scores, num_gt: int, num_pts: int) -> np.ndarray:
+    """Official KITTI score-threshold sampling: walk the sorted
+    TP-capable scores and keep one per ~1/(num_pts-1) recall step."""
+    scores = np.sort(np.asarray(scores, np.float64))[::-1]
+    thresholds, current = [], 0.0
+    for i, s in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current) < (current - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(s)
+        current += 1.0 / (num_pts - 1)
+    return np.asarray(thresholds)
+
+
+def evaluate_kitti_ap_official(
+    detections: Sequence[Dict[str, np.ndarray]],
+    ground_truths: Sequence[Dict[str, np.ndarray]],
+    *,
+    class_ids: Sequence[int] = (0,),
+    metric: str = "3d",
+    num_points: int = 40,
+) -> Dict[str, float]:
+    """KITTI AP under the official protocol (VERDICT r1 item 8).
+
+    Matches the devkit's two-pass scheme: (1) per difficulty bucket,
+    collect each non-ignored gt's best-matching detection SCORE (greedy
+    by score among IoU > threshold) and derive the 41 (or 11) official
+    recall-sampled score thresholds; (2) for every threshold, greedy
+    per-frame matching by IoU among detections above it — ignored gts
+    absorb detections without counting — then TP/FP -> precision, with
+    the monotone max-smoothing, averaged over the threshold samples
+    (R40 skips the recall-0 sample; R11 keeps it).
+
+    Vectorized: one (D, G) IoU matrix per frame/class (reused by every
+    bucket and threshold), and the threshold axis is batched — per gt
+    one argmax over a (T, D) array instead of the O(D*G) pure-Python
+    pair loop of :func:`evaluate_kitti_ap`.
+
+    No image-plane information exists in this stack, so the devkit's
+    2D-bbox-height difficulty criterion for DETECTIONS is not applied
+    (gt difficulty from the dataset labels is).
+    """
+    n_pts = 41 if num_points == 40 else 11
+    results: Dict[str, float] = {}
+    for cls in class_ids:
+        iou_thr = CLASS_IOU_THRESHOLDS.get(cls, 0.5)
+        frames = []
+        for det, gt in zip(detections, ground_truths):
+            dsel = det["labels"] == cls
+            gsel = gt["classes"] == cls
+            from lisec_tpu.eval.detection import iou_matrix_np
+            iou = iou_matrix_np(
+                np.asarray(det["boxes"][dsel], np.float64),
+                np.asarray(gt["boxes"][gsel], np.float64), metric)
+            diff = gt.get("difficulty",
+                          np.zeros(len(gt["boxes"]), np.int32))[gsel]
+            frames.append((np.asarray(det["scores"][dsel]), iou, diff))
+
+        for bucket, bucket_name in enumerate(DIFFICULTY_NAMES):
+            num_gt = 0
+            tp_scores = []
+            for scores, iou, diff in frames:
+                g_valid = (diff >= 0) & (diff <= bucket)
+                num_gt += int(g_valid.sum())
+                if len(scores) == 0:
+                    continue
+                # Pass 1: per valid gt, highest-score unassigned det
+                # with IoU > thr.
+                assigned = np.zeros(len(scores), bool)
+                for g in range(iou.shape[1]):
+                    if not g_valid[g]:
+                        continue
+                    cand = (iou[:, g] > iou_thr) & ~assigned
+                    if not cand.any():
+                        continue
+                    j = np.argmax(np.where(cand, scores, -np.inf))
+                    assigned[j] = True
+                    tp_scores.append(scores[j])
+            key = f"class{cls}_{metric}_ap_{bucket_name}_official"
+            if num_gt == 0 or not tp_scores:
+                results[key] = 0.0
+                continue
+            thresholds = _get_thresholds(tp_scores, num_gt, n_pts)
+            t = len(thresholds)
+
+            tp = np.zeros(t)
+            fp = np.zeros(t)
+            for scores, iou, diff in frames:
+                if len(scores) == 0:
+                    continue
+                g_valid = (diff >= 0) & (diff <= bucket)
+                g_ignored = ~g_valid
+                score_ok = scores[None, :] >= thresholds[:, None]
+                assigned = np.zeros((t, len(scores)), bool)
+                ign_assigned = np.zeros((t, len(scores)), bool)
+                rows = np.arange(t)
+                # Valid gts first (they claim detections for TP)...
+                for g in range(iou.shape[1]):
+                    if not g_valid[g]:
+                        continue
+                    cand = (score_ok & ~assigned
+                            & (iou[:, g] > iou_thr)[None, :])
+                    vals = np.where(cand, iou[:, g][None, :], -1.0)
+                    j = np.argmax(vals, axis=1)
+                    hit = vals[rows, j] > 0
+                    tp += hit
+                    assigned[rows[hit], j[hit]] = True
+                # ...then ignored gts absorb leftovers (not FP).
+                for g in range(iou.shape[1]):
+                    if g_valid[g]:
+                        continue
+                    cand = (score_ok & ~assigned & ~ign_assigned
+                            & (iou[:, g] > iou_thr)[None, :])
+                    vals = np.where(cand, iou[:, g][None, :], -1.0)
+                    j = np.argmax(vals, axis=1)
+                    hit = vals[rows, j] > 0
+                    ign_assigned[rows[hit], j[hit]] = True
+                fp += (score_ok & ~assigned & ~ign_assigned).sum(axis=1)
+
+            precision = tp / np.maximum(tp + fp, 1)
+            # Monotone envelope over the recall samples.
+            for i in range(t - 2, -1, -1):
+                precision[i] = max(precision[i], precision[i + 1])
+            full = np.zeros(n_pts)
+            full[:t] = precision
+            if n_pts == 41:
+                ap = full[1:].sum() / 40.0
+            else:
+                ap = full.sum() / 11.0
+            results[key] = float(ap * 100.0)
+    return results
+
+
 def evaluate_pipeline_ap(pipeline, state, *, split: str = "val",
                          metric: str = "3d",
                          max_frames: int = 0) -> Dict[str, float]:
@@ -151,7 +286,8 @@ def evaluate_pipeline_ap(pipeline, state, *, split: str = "val",
             done += 1
         if max_frames and done >= max_frames:
             break
-    return evaluate_kitti_ap(
-        dets, gts,
-        class_ids=list(range(len(pipeline.class_names))),
-        metric=metric)
+    cls_ids = list(range(len(pipeline.class_names)))
+    out = evaluate_kitti_ap(dets, gts, class_ids=cls_ids, metric=metric)
+    out.update(evaluate_kitti_ap_official(
+        dets, gts, class_ids=cls_ids, metric=metric))
+    return out

@@ -191,8 +191,7 @@ class FusedPillarEncoder(nn.Module):
              jnp.zeros(u.shape[:2] + (128 - c - 4,), u.dtype)], axis=-1)
 
         interpret = jax.devices()[0].platform != "tpu"
-        n = u.shape[1]
-        window = next(ww for ww in (512, 256, 128, n) if n % ww == 0)
+        window = 512   # segment_paint pads N to a window multiple
         table = segment_paint(
             packed, cell_s, num_cells=ncells,
             num_max=c, count_channel=c + 3,

@@ -111,7 +111,13 @@ class AnchorHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         a = self.num_anchors_per_cell
-        cls = nn.Conv(a * self.num_classes, (1, 1), dtype=self.dtype)(x)
+        # Focal-loss prior init (RetinaNet recipe, used by PointPillars/
+        # SECOND): bias = -log((1-pi)/pi), pi=0.01, so an untrained head
+        # predicts the foreground prior instead of p=0.5 — stabilizes
+        # early focal-loss training (and keeps greedy NMS's early-exit
+        # behavior representative of a trained detector).
+        cls = nn.Conv(a * self.num_classes, (1, 1), dtype=self.dtype,
+                      bias_init=nn.initializers.constant(-4.595))(x)
         box = nn.Conv(a * 7, (1, 1), dtype=self.dtype)(x)
         direction = nn.Conv(a * 2, (1, 1), dtype=self.dtype)(x)
         b, h, w, _ = x.shape

@@ -9,9 +9,13 @@ sin-difference angle loss + direction classifier (lives in R2/R3).
 
 TPU-native encoding: every sparse conv is the O7/O8 pair — a padded
 dense rulebook built with vectorized binary searches over sorted cell
-ids, then gather-GEMM-accumulate on the MXU (see ops/sparse_conv.py).
-Voxel-list budgets per level are static config, so the whole encoder
-jits with fixed shapes.
+ids, then gather-GEMM-accumulate on the MXU (see ops/sparse_conv.py)
+— round 2 swaps this for the scatter-form: batched tag-merge
+rulebooks + per-offset MXU GEMMs routed through the Pallas paint
+kernel as monotone spreads, all levels padded to one static size so
+the stack shares a single Pallas kernel compile. Voxel-list budgets
+per level are static config, so the whole encoder jits with fixed
+shapes.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ from flax import linen as nn
 from lisec_tpu.models.common import ConvBNRelu
 from lisec_tpu.models.pointpillars import AnchorHead, BEVBackbone
 from lisec_tpu.ops.sparse_conv import (
-    SparseConvSpec, build_output_coords, build_rulebook)
+    SparseConvSpec, build_output_coords, build_scatter_rulebook)
 
 
 def mean_vfe(voxels: jax.Array, num_points: jax.Array) -> jax.Array:
@@ -36,36 +40,34 @@ def mean_vfe(voxels: jax.Array, num_points: jax.Array) -> jax.Array:
     return s / jnp.maximum(num_points[..., None], 1).astype(voxels.dtype)
 
 
-def _batched_gather(feats: jax.Array, rulebook: jax.Array) -> jax.Array:
-    """feats (B, V, C), rulebook (B, K, Vout) -> (B, K, Vout, C);
-    -1 entries read a zero row."""
-    def one(f, rb):
-        v = f.shape[0]
-        fp = jnp.concatenate([f, jnp.zeros((1, f.shape[1]), f.dtype)])
-        return fp[jnp.where(rb >= 0, rb, v)]
-    return jax.vmap(one)(feats, rulebook)
-
-
 class SparseConv3D(nn.Module):
     """One sparse conv (weights (K, Cin, Cout)) + BN + ReLU over a
-    batched padded voxel list."""
+    batched padded voxel list, evaluated scatter-form: per-offset MXU
+    GEMM then a monotone spread through the Pallas paint kernel
+    (ops.sparse_conv3d_spread) — no data-dependent gathers."""
 
     out_channels: int
     num_offsets: int
     dtype: jnp.dtype = jnp.float32
+    pad_to: int = 0      # unify kernel shapes across the conv stack
 
     @nn.compact
-    def __call__(self, feats, rulebook, valid, train: bool = False):
-        """feats (B, Vin, Cin), rulebook (B, K, Vout), valid (B, Vout)."""
+    def __call__(self, feats, out_of, valid, train: bool = False):
+        """feats (B, Vin, Cin), out_of (B, K, Vin) scatter rulebook,
+        valid (B, Vout)."""
+        from lisec_tpu.ops.sparse_conv import sparse_conv3d_spread
+
         cin = feats.shape[-1]
         w = self.param(
             "kernel", nn.initializers.variance_scaling(
                 2.0, "fan_in", "truncated_normal"),
             (self.num_offsets, cin, self.out_channels), jnp.float32)
-        gathered = _batched_gather(feats.astype(self.dtype), rulebook)
-        y = jnp.einsum(
-            "bkvc,kcd->bvd", gathered, w.astype(self.dtype),
-            preferred_element_type=self.dtype)          # (B, Vout, Cout)
+        interpret = jax.devices()[0].platform != "tpu"
+        y = sparse_conv3d_spread(
+            feats.astype(self.dtype), out_of, w.astype(self.dtype),
+            v_out=valid.shape[1], interpret=interpret,
+            pad_to=self.pad_to)
+        y = y.astype(self.dtype)                        # (B, Vout, Cout)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype)(y)
         y = nn.relu(y)
@@ -102,15 +104,20 @@ class SparseMiddleEncoder(nn.Module):
 
         x = feats
         cur_coords, cur_num, cur_valid = coords, num_voxels, valid
+        # One static size for every conv in the stack -> one shared
+        # Pallas kernel compile (see sparse_conv3d_spread pad_to).
+        pad_v = max([v] + [int(bgt) for bgt in self.level_budgets])
+        pad_v = -(-pad_v // 2048) * 2048
 
         for level, ch in enumerate(self.channels):
             # Submanifold convs at this resolution (out set = in set).
             spec = subm_spec(grid)
-            rb = jax.vmap(lambda c, n: build_rulebook(c, n, c, n, spec)
-                          )(cur_coords, cur_num)
+            srb = build_scatter_rulebook(
+                cur_coords, cur_num, cur_coords, cur_num, spec)
             for _ in range(self.subm_per_level):
-                x = SparseConv3D(ch, spec.num_offsets, self.dtype)(
-                    x, rb, cur_valid, train)
+                x = SparseConv3D(ch, spec.num_offsets, self.dtype,
+                                 pad_to=pad_v)(
+                    x, srb, cur_valid, train)
 
             if level < len(self.channels) - 1:
                 # Strided downsample to the next level's active set.
@@ -119,15 +126,13 @@ class SparseMiddleEncoder(nn.Module):
                 out_coords, out_num = jax.vmap(
                     lambda c, n: build_output_coords(
                         c, n, dspec, max_out=budget))(cur_coords, cur_num)
-                drb = jax.vmap(
-                    lambda ci, ni, co, no: build_rulebook(
-                        ci, ni, co, no, dspec)
-                )(cur_coords, cur_num, out_coords, out_num)
+                dsrb = build_scatter_rulebook(
+                    cur_coords, cur_num, out_coords, out_num, dspec)
                 out_valid = (jnp.arange(budget)[None, :]
                              < out_num[:, None])
                 x = SparseConv3D(
                     self.channels[level + 1], dspec.num_offsets,
-                    self.dtype)(x, drb, out_valid, train)
+                    self.dtype, pad_to=pad_v)(x, dsrb, out_valid, train)
                 cur_coords, cur_num, cur_valid = (
                     out_coords, out_num, out_valid)
                 grid = dspec.grid_out

@@ -43,6 +43,8 @@ from lisec_tpu.ops.nms import rotated_nms
 from lisec_tpu.ops.range_proj import range_project, range_unproject
 from lisec_tpu.ops.knn_refine import knn_refine
 from lisec_tpu.ops.sparse_conv import (
+    build_scatter_rulebook,
+    sparse_conv3d_spread,
     build_output_coords,
     build_rulebook,
     sparse_conv3d,
@@ -61,5 +63,6 @@ __all__ = [
     "rotated_nms",
     "range_project", "range_unproject",
     "knn_refine",
-    "build_output_coords", "build_rulebook", "sparse_conv3d", "SparseConvSpec",
+    "build_output_coords", "build_rulebook", "build_scatter_rulebook",
+    "sparse_conv3d", "sparse_conv3d_spread", "SparseConvSpec",
 ]

@@ -116,22 +116,31 @@ def _paint_kernel(offs_ref, vals_hbm, cell_hbm, out_ref,
         dist = lane - seg_start                           # (1, w)
 
         # Segmented scans over all channel-sublanes; lane-select merges
-        # the max-lane and sum-lane results (no lane slicing).
+        # the max-lane and sum-lane results (no lane slicing). Pure-sum
+        # (num_max == 0, the voxelize spread) and pure-max callers skip
+        # the unused scan entirely — it is half the per-window VPU work.
         v = vals_s[slot]                                  # (128, w) f32
         vmax = v
         vsum = v
         sh = 1
         while sh < w:
             ok = dist >= sh                               # (1, w)
-            rm = pltpu.roll(vmax, shift=sh, axis=1)
-            rm = jnp.where(lane >= sh, rm, _NEG)
-            vmax = jnp.where(ok, jnp.maximum(vmax, rm), vmax)
-            rs = pltpu.roll(vsum, shift=sh, axis=1)
-            rs = jnp.where(lane >= sh, rs, 0.0)
-            vsum = jnp.where(ok, vsum + rs, vsum)
+            if num_max > 0:
+                rm = pltpu.roll(vmax, shift=sh, axis=1)
+                rm = jnp.where(lane >= sh, rm, _NEG)
+                vmax = jnp.where(ok, jnp.maximum(vmax, rm), vmax)
+            if num_max < LANES:
+                rs = pltpu.roll(vsum, shift=sh, axis=1)
+                rs = jnp.where(lane >= sh, rs, 0.0)
+                vsum = jnp.where(ok, vsum + rs, vsum)
             sh *= 2
-        ch = jax.lax.broadcasted_iota(jnp.int32, (LANES, w), 0)
-        scanned = jnp.where(ch < num_max, vmax, vsum)     # (128, w)
+        if num_max == 0:
+            scanned = vsum
+        elif num_max == LANES:
+            scanned = vmax
+        else:
+            ch = jax.lax.broadcasted_iota(jnp.int32, (LANES, w), 0)
+            scanned = jnp.where(ch < num_max, vmax, vsum)  # (128, w)
 
         # Route each cell's segment-end to its slab row. The one-hot
         # matmul is a pure SELECTION, so splitting the f32 operand into
@@ -184,8 +193,17 @@ def segment_paint(
     """
     b, n, c = vals.shape
     assert c == LANES, f"vals must have {LANES} channels, got {c}"
-    assert n % window == 0, f"N={n} must be a multiple of window={window}"
     assert num_max <= count_channel < LANES
+    if n % window:
+        # Pad the point axis to a window multiple: zero rows with the
+        # max-cell sentinel keep the stream sorted and route nowhere.
+        pad = window - n % window
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((b, pad, c), vals.dtype)], axis=1)
+        cell_sorted = jnp.concatenate(
+            [cell_sorted,
+             jnp.full((b, pad), num_cells, cell_sorted.dtype)], axis=1)
+        n += pad
     num_slabs = -(-num_cells // slab)
     padded_cells = num_slabs * slab
 

@@ -32,6 +32,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class SparseConvSpec(NamedTuple):
@@ -164,6 +165,220 @@ def build_rulebook(
     pos_c = jnp.minimum(pos, v_in - 1)
     hit = (lin_in[pos_c] == lin_tap) & (lin_tap < sentinel) & valid_out
     return jnp.where(hit, pos_c, -1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def build_scatter_rulebook(
+    coords_in: jax.Array,      # (B, V_in, 3) int32 [z,y,x] sorted
+    num_in: jax.Array,         # (B,)
+    coords_out: jax.Array,     # (B, V_out, 3) int32 sorted
+    num_out: jax.Array,        # (B,)
+    spec: SparseConvSpec,
+) -> jax.Array:
+    """Scatter-form rulebook: (B, K, V_in) int32 — the OUTPUT index each
+    input voxel feeds under kernel offset k, or -1.
+
+    The gather-form rulebook + searchsorted costs ~6M binary-search
+    probes per frame (measured 277 ms/batch-4 for one level — gathers
+    run at ~2 GB/s on TPU). Here membership+rank are found by a
+    MERGE: for each offset, the input's target out-cell ids and the
+    (unique, sorted) out-cell list are co-sorted with tags; a query row
+    matches iff its immediate predecessor is the out row of the same
+    cell (for a fixed (k, out) the input is unique, so also at most one
+    query per cell). One batched `lax.sort` call handles all (B, K)
+    rows. An inverse 2-key sort returns results in input order.
+    """
+    b, v_in, _ = coords_in.shape
+    v_out = coords_out.shape[1]
+    go = spec.grid_out
+    n_out_cells = go[0] * go[1] * go[2]
+
+    lin_out = jax.vmap(lambda c: _lin_ids(c, go))(
+        coords_out.reshape(b, v_out, 3))                # (B, V_out)
+    lin_out = jnp.where(
+        jnp.arange(v_out)[None] < num_out[:, None], lin_out, n_out_cells)
+
+    offs = spec.offsets()                               # (K, 3)
+    k = offs.shape[0]
+    stride = jnp.array(spec.stride, jnp.int32)
+    pad = jnp.array(spec.padding, jnp.int32)
+
+    num = (coords_in[:, None, :, :] + pad[None, None, None, :]
+           - offs[None, :, None, :])                    # (B, K, V_in, 3)
+    div_ok = (num % stride[None, None, None, :] == 0).all(-1)
+    cand = num // stride[None, None, None, :]
+    inb = ((cand >= 0).all(-1)
+           & (cand[..., 0] < go[0]) & (cand[..., 1] < go[1])
+           & (cand[..., 2] < go[2]))
+    valid_in = (jnp.arange(v_in)[None, None, :]
+                < num_in[:, None, None])
+    ok = div_ok & inb & valid_in
+    lin_q = (cand[..., 0] * go[1] + cand[..., 1]) * go[2] + cand[..., 2]
+    lin_q = jnp.where(ok, lin_q, n_out_cells)           # (B, K, V_in)
+
+    # Merge: per (b, k) row, sort [out cells | query cells] by
+    # (cell, tag) carrying (out rank | input index).
+    cells = jnp.concatenate(
+        [jnp.broadcast_to(lin_out[:, None, :], (b, k, v_out)), lin_q],
+        axis=2)                                         # (B, K, V_out+V_in)
+    tag = jnp.concatenate(
+        [jnp.zeros((b, k, v_out), jnp.int32),
+         jnp.ones((b, k, v_in), jnp.int32)], axis=2)
+    payload = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(v_out, dtype=jnp.int32)[None, None],
+                          (b, k, v_out)),
+         jnp.broadcast_to(jnp.arange(v_in, dtype=jnp.int32)[None, None],
+                          (b, k, v_in))], axis=2)
+    c_s, t_s, p_s = jax.lax.sort((cells, tag, payload),
+                                 dimension=2, num_keys=2)
+
+    prev_c = jnp.concatenate(
+        [jnp.full((b, k, 1), -1, c_s.dtype), c_s[..., :-1]], axis=2)
+    prev_t = jnp.concatenate(
+        [jnp.ones((b, k, 1), t_s.dtype), t_s[..., :-1]], axis=2)
+    prev_p = jnp.concatenate(
+        [jnp.zeros((b, k, 1), p_s.dtype), p_s[..., :-1]], axis=2)
+    matched = ((t_s == 1) & (prev_t == 0) & (prev_c == c_s)
+               & (c_s < n_out_cells))
+    out_rank = jnp.where(matched, prev_p, -1)
+
+    # Back to input order: among tag-1 rows sort by input index.
+    key = jnp.where(t_s == 1, p_s, v_in + v_out)
+    _, out_of = jax.lax.sort((key, out_rank), dimension=2, num_keys=1)
+    return out_of[..., :v_in]                           # (B, K, V_in)
+
+
+def _monotone_spread(vals: jax.Array, targets: jax.Array, valid: jax.Array,
+                     num_out: int, interpret: bool) -> jax.Array:
+    """Route rows of `vals` (B', N, C<=127) to `targets` (B', N) —
+    monotone over valid entries, unique — summing into a dense
+    (B', num_out, C) table via the slab-paint kernel. Invalid rows are
+    zeroed and their targets monotonized (a zero sum lands harmlessly
+    anywhere)."""
+    from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+
+    bb, n, c = vals.shape
+    vm = jnp.where(valid[..., None], vals.astype(jnp.float32), 0.0)
+    # Count always lives at lane 127 so every channel width shares one
+    # kernel shape (each distinct Mosaic compile is ~1.5 min here).
+    packed = jnp.concatenate(
+        [vm, jnp.zeros((bb, n, 127 - c), jnp.float32),
+         valid.astype(jnp.float32)[..., None]], axis=-1)
+    tgt = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(valid, targets, -1), axis=1)
+    tgt = jnp.maximum(tgt, 0).astype(jnp.int32)
+    window = 512    # segment_paint pads N to a window multiple
+    table = segment_paint(
+        packed, tgt, num_cells=num_out, num_max=0, count_channel=127,
+        slab=2048, window=window, interpret=interpret)
+    return table[..., :c]                               # (B', num_out, C)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _spread_conv(features, weights, out_of, v_out, interpret):
+    b, v_in, cin = features.shape
+    k, _, cout = weights.shape
+    z = jnp.einsum("bvc,kcd->bkvd", features, weights,
+                   preferred_element_type=jnp.float32)  # (B,K,V,Cout)
+    valid = out_of >= 0
+    y = _monotone_spread(
+        z.reshape(b * k, v_in, cout),
+        out_of.reshape(b * k, v_in), valid.reshape(b * k, v_in),
+        v_out, interpret)
+    return jnp.sum(y.reshape(b, k, v_out, cout), axis=1)
+
+
+def _pad_axis(x, axis, size, fill):
+    if x.shape[axis] >= size:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, size - x.shape[axis])
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _spread_conv_fwd(features, weights, out_of, v_out, interpret):
+    return (_spread_conv(features, weights, out_of, v_out, interpret),
+            (features, weights, out_of))
+
+
+def _spread_conv_bwd(v_out, interpret, res, g):
+    """Backward = conv-transpose, also spread-form: the inverse per-
+    offset map in_of(out) is monotone/unique too, so dz̃_k = g routed
+    through it (one spread), then dX and dW are plain MXU einsums. The
+    inverse map itself comes from a 1-channel spread of input indices.
+    """
+    features, weights, out_of = res
+    b, v_in, cin = features.shape
+    k, _, cout = weights.shape
+    valid = (out_of >= 0).reshape(b * k, v_in)
+
+    # in_of[b,k,o] = input index feeding output o under offset k (-1
+    # if none): spread (index+1) through out_of; unique targets make
+    # the sum an exact selection.
+    idxv = jnp.broadcast_to(
+        jnp.arange(v_in, dtype=jnp.float32)[None, :, None] + 1.0,
+        (b * k, v_in, 1))
+    tab = _monotone_spread(idxv, out_of.reshape(b * k, v_in), valid,
+                           v_out, interpret)
+    in_of = jnp.round(tab[..., 0]).astype(jnp.int32) - 1  # (B*K, V_out)
+
+    # dz̃[b,k,i,:] = g[b, out_k(i), :]  ==  spread g through in_of.
+    g32 = g.astype(jnp.float32)
+    g_rep = jnp.broadcast_to(g32[:, None], (b, k, v_out, cout))
+    dz = _monotone_spread(
+        g_rep.reshape(b * k, v_out, cout), in_of, in_of >= 0,
+        v_in, interpret).reshape(b, k, v_in, cout)
+
+    f32 = features.astype(jnp.float32)
+    dw = jnp.einsum("bvc,bkvd->kcd", f32, dz,
+                    preferred_element_type=jnp.float32)
+    dx = jnp.einsum("bkvd,kcd->bvc", dz,
+                    weights.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    d_out_of = np.zeros(out_of.shape, dtype=jax.dtypes.float0)
+    return (dx.astype(features.dtype), dw.astype(weights.dtype),
+            d_out_of)
+
+
+_spread_conv.defvjp(_spread_conv_fwd, _spread_conv_bwd)
+
+
+@partial(jax.jit, static_argnames=("v_out", "interpret", "pad_to"))
+def sparse_conv3d_spread(
+    features: jax.Array,       # (B, V_in, Cin)
+    out_of: jax.Array,         # (B, K, V_in) scatter rulebook
+    weights: jax.Array,        # (K, Cin, Cout)
+    *,
+    v_out: int,
+    interpret: bool = False,
+    pad_to: int = 0,
+) -> jax.Array:
+    """Scatter-form sparse conv: per-offset GEMM then monotone spread.
+
+    y[out] = Σ_k W_k · x[in_k(out)] is evaluated as: z_k = x @ W_k (K
+    batched MXU matmuls), then each z_k row is ROUTED to its output row
+    by the slab-paint kernel — for a fixed offset the in->out map is
+    monotone (adding a constant cell offset preserves order) with
+    unique targets, so the routing is a sorted unique-target sum
+    spread, not a gather (measured ~2 GB/s) path. Differentiable via a
+    custom VJP whose backward is the same machinery through the inverse
+    map (conv-transpose). Returns (B, V_out, Cout) f32.
+
+    `pad_to` pads BOTH the input voxel list and the output table to a
+    common static size so every conv in a network shares ONE Pallas
+    kernel shape — on this backend each distinct Mosaic compile costs
+    ~1.5 min through the remote compiler and there is no persistent
+    cache, so an 11-conv encoder would otherwise pay 11 compiles.
+    """
+    k, _, cout = weights.shape
+    assert cout + 1 <= 128, "Cout must be < 128 for the spread kernel"
+    if pad_to:
+        assert pad_to >= max(v_out, features.shape[1])
+        features = _pad_axis(features, 1, pad_to, 0.0)
+        out_of = _pad_axis(out_of, 2, pad_to, -1)
+        y = _spread_conv(features, weights, out_of, pad_to, interpret)
+        return y[:, :v_out]
+    return _spread_conv(features, weights, out_of, v_out, interpret)
 
 
 @jax.jit

@@ -170,7 +170,7 @@ def voxelize_batch(
     packed = (sub[..., :, None] * rec[..., None, :]).reshape(b, n, 128)
     row = jnp.where(keep, slot // 16, num_rows)
 
-    window = next(w for w in (512, 256, 128, n) if n % w == 0)
+    window = 512    # segment_paint pads N to a window multiple
     interpret = jax.devices()[0].platform != "tpu"
     table = segment_paint(
         packed, row, num_cells=num_rows,

@@ -122,3 +122,40 @@ class TestMultiHostPieces:
         # No coordinator in this environment: must not raise, must
         # report that it skipped.
         assert initialize_distributed() in (False,)
+
+
+def test_dp_grads_match_single_device_exactly(cfg, eight_devices):
+    """Pre-optimizer gradients from the 8-way sharded loss must equal
+    the single-device gradients on the same batch (the DP contract at
+    the gradient level, not just grad_norm / post-Adam params)."""
+    import jax.numpy as jnp
+    from lisec_tpu.data.collate import make_batches
+    from lisec_tpu.parallel import batch_sharding, replicated_sharding
+
+    pipe1 = _make(cfg, 1)
+    pipe8 = _make(cfg, 8)
+    state = pipe1.init_state(0)
+    ds = pipe1.make_dataset("train")
+    batch = next(make_batches(ds, cfg.budget, cfg.train.batch_size,
+                              shuffle=False))
+    rng = jax.random.PRNGKey(3)
+
+    def grads(pipe):
+        params = jax.device_put(state.params,
+                                replicated_sharding(pipe.mesh))
+        sharded = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x),
+                                     batch_sharding(pipe.mesh)), batch)
+
+        def loss_fn(p):
+            return pipe.loss(p, state.batch_stats, sharded, rng,
+                             train=True)
+        (_, _), g = jax.jit(jax.value_and_grad(
+            loss_fn, has_aux=True))(params)
+        return jax.device_get(g)
+
+    g1 = grads(pipe1)
+    g8 = grads(pipe8)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            a, b, rtol=2e-4, atol=1e-6), g1, g8)

@@ -86,3 +86,146 @@ def test_harder_gts_ignored_not_fn():
     assert res["class0_3d_ap_easy"] > 99.0
     # In the HARD bucket they count -> recall 0.5.
     assert res["class0_3d_ap_hard"] < 60.0
+
+
+class TestIoUMatrix:
+    def test_matches_pairwise(self):
+        from lisec_tpu.eval.detection import (
+            iou_3d_np, iou_matrix_np, rotated_iou_bev_np)
+        rng = np.random.default_rng(3)
+        det = np.stack([
+            rng.uniform(0, 40, 12), rng.uniform(-20, 20, 12),
+            rng.uniform(-2, 0, 12), rng.uniform(2, 5, 12),
+            rng.uniform(1.2, 2, 12), rng.uniform(1.2, 2, 12),
+            rng.uniform(-np.pi, np.pi, 12)], -1)
+        gt = det[:7] + rng.normal(0, 0.4, (7, 7))
+        gt[:, 3:6] = np.abs(gt[:, 3:6]) + 0.5
+        for metric, pair_fn in [("bev", rotated_iou_bev_np),
+                                ("3d", iou_3d_np)]:
+            mat = iou_matrix_np(det, gt, metric)
+            for i in range(len(det)):
+                for j in range(len(gt)):
+                    np.testing.assert_allclose(
+                        mat[i, j], pair_fn(det[i], gt[j]), atol=2e-4)
+
+    def test_empty(self):
+        from lisec_tpu.eval.detection import iou_matrix_np
+        assert iou_matrix_np(np.zeros((0, 7)), np.zeros((3, 7))).shape \
+            == (0, 3)
+
+
+class TestOfficialProtocol:
+    def test_perfect_detections_ap_100(self):
+        from lisec_tpu.eval.kitti_ap import evaluate_kitti_ap_official
+        rng = np.random.default_rng(0)
+        # >= 41 pooled gts so every official recall sample is reachable
+        # (the devkit emits at most one threshold per TP score; with
+        # fewer gts than samples, AP is quantization-capped by design).
+        gts = [_gt_frame(rng, n=6) for _ in range(12)]
+        dets = [{
+            "boxes": g["boxes"].copy(),
+            "scores": rng.uniform(0.5, 1.0,
+                                  len(g["boxes"])).astype(np.float32),
+            "labels": np.zeros(len(g["boxes"]), np.int32),
+        } for g in gts]
+        res = evaluate_kitti_ap_official(dets, gts, class_ids=[0],
+                                         metric="3d")
+        assert res["class0_3d_ap_moderate_official"] > 97.0
+
+    def test_no_detections_ap_0(self):
+        from lisec_tpu.eval.kitti_ap import evaluate_kitti_ap_official
+        rng = np.random.default_rng(0)
+        gts = [_gt_frame(rng)]
+        dets = [{"boxes": np.zeros((0, 7), np.float32),
+                 "scores": np.zeros(0, np.float32),
+                 "labels": np.zeros(0, np.int32)}]
+        res = evaluate_kitti_ap_official(dets, gts, class_ids=[0])
+        assert res["class0_3d_ap_moderate_official"] == 0.0
+
+    def test_half_recall_half_ap(self):
+        from lisec_tpu.eval.kitti_ap import evaluate_kitti_ap_official
+        rng = np.random.default_rng(1)
+        gts = [_gt_frame(rng, n=8) for _ in range(4)]
+        # detect only the first half of every frame's gts, perfectly
+        dets = [{
+            "boxes": g["boxes"][:4].copy(),
+            "scores": np.linspace(0.95, 0.7, 4).astype(np.float32),
+            "labels": np.zeros(4, np.int32),
+        } for g in gts]
+        res = evaluate_kitti_ap_official(dets, gts, class_ids=[0],
+                                         metric="3d")
+        ap = res["class0_3d_ap_moderate_official"]
+        assert 30.0 < ap < 60.0, ap
+
+    def test_fp_lowers_ap(self):
+        from lisec_tpu.eval.kitti_ap import evaluate_kitti_ap_official
+        rng = np.random.default_rng(2)
+        gts = [_gt_frame(rng, n=6) for _ in range(4)]
+        dets = []
+        for g in gts:
+            fps = g["boxes"].copy()
+            fps[:, 0] += 15.0           # far-off clones = pure FPs
+            dets.append({
+                "boxes": np.concatenate([g["boxes"], fps]),
+                "scores": np.concatenate([
+                    np.full(6, 0.9), np.full(6, 0.8)]).astype(np.float32),
+                "labels": np.zeros(12, np.int32),
+            })
+        res = evaluate_kitti_ap_official(dets, gts, class_ids=[0],
+                                         metric="3d")
+        ap = res["class0_3d_ap_moderate_official"]
+        assert 30.0 < ap < 80.0, ap
+
+    def test_ignored_gts_absorb_without_fp(self):
+        from lisec_tpu.eval.kitti_ap import evaluate_kitti_ap_official
+        rng = np.random.default_rng(4)
+        # Detections on ignored (harder-bucket) gts must be absorbed —
+        # not counted as FPs — so the same detection set scores HIGHER
+        # when its extras sit on ignored gts than when they are true
+        # FPs in empty space. (Absolute AP here is quantization-capped
+        # by the tiny pooled-gt count; compare, don't threshold.)
+        gts_a, gts_b, dets = [], [], []
+        for _ in range(8):
+            g = _gt_frame(rng, n=6)
+            g["difficulty"][3:] = 2      # hard-only: ignored for easy
+            g2 = {k: v.copy() for k, v in g.items()}
+            boxes = g["boxes"].copy()
+            g2["boxes"][3:, 0] += 25.0   # move ignored gts away ->
+            #                              those dets become true FPs
+            dets.append({
+                "boxes": boxes,
+                "scores": rng.uniform(0.5, 1.0, 6).astype(np.float32),
+                "labels": np.zeros(6, np.int32),
+            })
+            gts_a.append(g)
+            gts_b.append(g2)
+        ap_absorbed = evaluate_kitti_ap_official(
+            dets, gts_a, class_ids=[0],
+            metric="3d")["class0_3d_ap_easy_official"]
+        ap_fp = evaluate_kitti_ap_official(
+            dets, gts_b, class_ids=[0],
+            metric="3d")["class0_3d_ap_easy_official"]
+        assert ap_absorbed > ap_fp + 5.0, (ap_absorbed, ap_fp)
+
+    def test_agrees_with_simple_on_clean_data(self):
+        from lisec_tpu.eval.kitti_ap import (
+            evaluate_kitti_ap, evaluate_kitti_ap_official)
+        rng = np.random.default_rng(5)
+        gts = [_gt_frame(rng, n=6) for _ in range(6)]
+        dets = []
+        for g in gts:
+            keep = rng.random(6) < 0.75
+            noisy = g["boxes"][keep].copy()
+            noisy[:, :2] += rng.normal(0, 0.15, noisy[:, :2].shape)
+            dets.append({
+                "boxes": noisy.astype(np.float32),
+                "scores": rng.uniform(0.5, 1.0,
+                                      keep.sum()).astype(np.float32),
+                "labels": np.zeros(int(keep.sum()), np.int32),
+            })
+        simple = evaluate_kitti_ap(dets, gts, class_ids=[0], metric="3d")
+        official = evaluate_kitti_ap_official(dets, gts, class_ids=[0],
+                                              metric="3d")
+        a = simple["class0_3d_ap_moderate"]
+        b = official["class0_3d_ap_moderate_official"]
+        assert abs(a - b) < 12.0, (a, b)

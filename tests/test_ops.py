@@ -508,3 +508,89 @@ class TestNumericalGradients:
             return jnp.sum(jnp.tanh(out))
         check_grads(f, (v["params"]["kernel"],), order=1, modes=["rev"],
                     atol=2e-2, rtol=2e-2)
+
+
+class TestScatterRulebookSpread:
+    """Scatter-form rulebook + spread conv must reproduce the gather-
+    form sparse conv (which is itself oracle-tested)."""
+
+    GRID = (8, 12, 12)
+
+    def _coords(self, rng, v_budget, n_active):
+        nz, ny, nx = self.GRID
+        lin = np.sort(rng.choice(nz * ny * nx, n_active, replace=False))
+        coords = np.stack(
+            [lin // (ny * nx), (lin // nx) % ny, lin % nx],
+            -1).astype(np.int32)
+        pad = np.full((v_budget - n_active, 3), -1, np.int32)
+        return np.concatenate([coords, pad])
+
+    def _compare(self, rng, spec, out_coords_fn):
+        b, v, n_act, cin, cout = 2, 64, 40, 8, 12
+        coords = np.stack([self._coords(rng, v, n_act) for _ in range(b)])
+        feats = rng.normal(size=(b, v, cin)).astype(np.float32)
+        feats[:, n_act:] = 0
+        w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+        nums = np.full((b,), n_act, np.int32)
+
+        out_coords, out_nums = out_coords_fn(coords, nums, spec)
+        want = np.stack([np.asarray(ops.sparse_conv3d(
+            jnp.asarray(feats[i]),
+            ops.build_rulebook(
+                jnp.asarray(coords[i]), jnp.asarray(nums[i]),
+                jnp.asarray(out_coords[i]), jnp.asarray(out_nums[i]),
+                spec),
+            jnp.asarray(w))) for i in range(b)])
+
+        srb = ops.build_scatter_rulebook(
+            jnp.asarray(coords), jnp.asarray(nums),
+            jnp.asarray(out_coords), jnp.asarray(out_nums), spec)
+        got = np.asarray(ops.sparse_conv3d_spread(
+            jnp.asarray(feats), srb, jnp.asarray(w),
+            v_out=out_coords.shape[1], interpret=True))
+        # valid rows only
+        for i in range(b):
+            no = int(out_nums[i])
+            np.testing.assert_allclose(got[i, :no], want[i, :no],
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_submanifold(self, rng):
+        spec = ops.SparseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1),
+                                  self.GRID)
+        self._compare(rng, spec,
+                      lambda c, n, s: (c, n))
+
+    def test_strided(self, rng):
+        spec = ops.SparseConvSpec((3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                  self.GRID)
+
+        def mk_out(c, n, s):
+            ocs, ons = [], []
+            for i in range(len(c)):
+                oc, on = ops.build_output_coords(
+                    jnp.asarray(c[i]), jnp.asarray(n[i]), s, max_out=64)
+                ocs.append(np.asarray(oc))
+                ons.append(int(on))
+            return np.stack(ocs), np.asarray(ons, np.int32)
+        self._compare(rng, spec, mk_out)
+
+    def test_spread_conv_grads_match_gather_form(self, rng):
+        from jax.test_util import check_grads
+        spec = ops.SparseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1),
+                                  self.GRID)
+        b, v, n_act, cin, cout = 1, 32, 20, 4, 6
+        coords = np.stack([self._coords(rng, v, n_act)])
+        feats = jnp.asarray(
+            rng.normal(size=(b, v, cin)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.2)
+        nums = jnp.asarray([n_act], jnp.int32)
+        srb = ops.build_scatter_rulebook(
+            jnp.asarray(coords), nums, jnp.asarray(coords), nums, spec)
+
+        def f(feats, w):
+            y = ops.sparse_conv3d_spread(feats, srb, w, v_out=v,
+                                         interpret=True)
+            return jnp.sum(jnp.tanh(y))
+        check_grads(f, (feats, w), order=1, modes=["rev"],
+                    atol=2e-2, rtol=2e-2)
