@@ -56,15 +56,14 @@ def chain_time(fn, args, iters: int, sync_floor: float) -> float:
     `iters` times sequentially inside one jitted scan, one sync."""
 
     def perturb(args, eps):
-        out, done = [], False
-        for a in args:
-            if not done and isinstance(a, jax.Array) and \
-                    jnp.issubdtype(a.dtype, jnp.floating):
-                out.append(a + eps.astype(a.dtype))
-                done = True
-            else:
-                out.append(a)
-        return tuple(out)
+        # Perturb EVERY float argument: if any input the computation
+        # actually depends on stays loop-invariant, XLA hoists the
+        # whole body out of the scan and the "measurement" is a no-op.
+        return tuple(
+            a + eps.astype(a.dtype)
+            if isinstance(a, jax.Array)
+            and jnp.issubdtype(a.dtype, jnp.floating) else a
+            for a in args)
 
     @jax.jit
     def run(*args):

@@ -162,8 +162,17 @@ def assign_targets_windowed(
     win_anchors = jnp.concatenate(
         [jnp.stack([ax_b, ay_b, az], -1), asz, arot[..., None]], -1)
 
-    gt_b = gt_boxes[:, None, None, None, None, :]
-    iou = rotated_iou_bev(win_anchors, gt_b)            # (M, w, w, C, R)
+    # Flatten the pair axes before the IoU: the polygon enumeration
+    # appends small geometry dims (4 corners, 24 candidates), and on a
+    # 7-D (M, w, w, C, R, ...) layout XLA pads every tiny trailing dim
+    # to full vector tiles (measured 353 ns/pair vs 7 ns/pair flat —
+    # 185 of the assigner's 203 ms).
+    kflat = w * w * num_cls * num_rot
+    gt_flat = jnp.broadcast_to(
+        gt_boxes[:, None, :], (m, kflat, 7)).reshape(m * kflat, 7)
+    iou = rotated_iou_bev(
+        win_anchors.reshape(m * kflat, 7), gt_flat)
+    iou = iou.reshape(m, w, w, num_cls, num_rot)        # (M, w, w, C, R)
     cls_idx = jax.lax.broadcasted_iota(
         jnp.int32, (m, w, w, num_cls, num_rot), 3)
     pair_ok = (gt_mask.astype(bool)[:, None, None, None, None]
