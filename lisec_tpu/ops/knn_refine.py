@@ -1,13 +1,28 @@
 """O13 — range-window kNN label refinement (SURVEY.md §2.3 O13).
 
 Reference form: CUDA windowed kNN vote (RangeNet++-style post-process).
-TPU-native design: for each point, gather the S x S pixel window around
-its projected (v, u) from the label/range images (one fused gather),
-take the k nearest neighbors by |range difference| with ``top_k``, and
-vote with inverse-distance weights over classes. Static shapes: (N, S*S)
-window, fixed k, fixed class count. Runs inside the jitted inference
-program — per-POINT labels leave the device, not per-pixel ones
-(SURVEY.md §3.5).
+
+Round-2 TPU-native design (the round-1 per-point windowed gather —
+(N, S²) scalar gathers from the range/label images plus per-point vote
+scatters — measured 1271 of the range pipeline's 1263 ms/batch-8; all
+data-dependent movement sits on the ~2 GB/s ceiling):
+
+  1. The S² pixel neighborhoods are built IMAGE-SPACE as shifted
+     copies (edge-clamped pad+slice — pure dense copies), packed into a
+     (H*W, 128)-lane table: [S² ranges | S² labels | S² valids].
+  2. Points co-sort by pixel id (multi-operand `lax.sort`, ~free).
+  3. Each OCCUPIED pixel's table row is delivered to its FIRST point
+     via the monotone unique-target spread (the same Pallas slab-paint
+     machinery as the sparse conv), then forward-filled down each
+     pixel's point segment with a bounded segmented max-scan (all
+     channels are non-negative). Points deeper than ``fill_depth`` in
+     one pixel fall back to the projected label — the pre-refinement
+     behavior — rather than paying an unbounded scan.
+  4. The k-NN select and class vote run in flat (N, S²) layout with
+     one-hot arithmetic — no vote scatters.
+
+Static shapes throughout; runs inside the jitted inference program so
+per-POINT labels leave the device (SURVEY.md §3.5).
 """
 
 from __future__ import annotations
@@ -18,7 +33,149 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("window", "k", "num_classes"))
+def _shifted_stack(img, half, fill):
+    """(B, H, W) -> (B, H, W, S²) edge-padded shifted copies."""
+    b, h, w = img.shape
+    padded = jnp.pad(img, ((0, 0), (half, half), (half, half)),
+                     mode="constant", constant_values=fill)
+    outs = []
+    for dv in range(-half, half + 1):
+        for du in range(-half, half + 1):
+            outs.append(jax.lax.dynamic_slice(
+                padded, (0, half + dv, half + du), (b, h, w)))
+    return jnp.stack(outs, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("window", "k", "num_classes",
+                                   "fill_depth", "interpret"))
+def knn_refine_batch(
+    point_range: jax.Array,    # (B, N)
+    pixel_uv: jax.Array,       # (B, N, 2) int32 (v, u)
+    image_range: jax.Array,    # (B, H, W)
+    image_labels: jax.Array,   # (B, H, W) int32
+    image_mask: jax.Array,     # (B, H, W) bool
+    *,
+    window: int = 5,
+    k: int = 5,
+    num_classes: int = 20,
+    cutoff: float = 1.0,
+    fill_depth: int = 32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Batched gather-free refinement. Returns (B, N) int32 labels."""
+    from lisec_tpu.ops.sparse_conv import _monotone_spread
+
+    b, n = point_range.shape
+    h, w = image_range.shape[1:]
+    hw = h * w
+    half = window // 2
+    s2 = window * window
+    assert 3 * s2 <= 128, "window too large for the 128-lane table"
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    # 1. image-space neighborhood table (B, HW, 128).
+    nbr_r = _shifted_stack(image_range, half, 0.0)
+    nbr_l = _shifted_stack(image_labels.astype(jnp.float32), half, 0.0)
+    nbr_v = _shifted_stack(
+        image_mask.astype(jnp.float32), half, 0.0)
+    table = jnp.concatenate(
+        [nbr_r, nbr_l, nbr_v], axis=-1).reshape(b, hw, 3 * s2)
+
+    # 2. co-sort points by pixel id (original index rides along).
+    pix = pixel_uv[..., 0] * w + pixel_uv[..., 1]       # (B, N)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    pix_s, idx_s, range_s = jax.lax.sort(
+        (pix, idx, point_range), dimension=1, num_keys=2)
+
+    # 3. deliver each occupied pixel's row to its first point. The
+    #    target positions are found with the same tag-merge used by the
+    #    sparse-conv rulebook: rows (tag 0) sort immediately before
+    #    their pixel's first point (tag 1, lowest index first).
+    cells = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw)),
+         pix_s], axis=1)
+    tag = jnp.concatenate(
+        [jnp.zeros((b, hw), jnp.int32), jnp.ones((b, n), jnp.int32)],
+        axis=1)
+    pos = jnp.concatenate(
+        [jnp.arange(hw, dtype=jnp.int32)[None].repeat(b, 0),
+         jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))],
+        axis=1)
+    c_s, t_s, p_s = jax.lax.sort((cells, tag, pos), dimension=1,
+                                 num_keys=2)
+    nxt_c = jnp.concatenate(
+        [c_s[:, 1:], jnp.full((b, 1), -1, c_s.dtype)], axis=1)
+    nxt_t = jnp.concatenate(
+        [t_s[:, 1:], jnp.zeros((b, 1), t_s.dtype)], axis=1)
+    nxt_p = jnp.concatenate(
+        [p_s[:, 1:], jnp.zeros((b, 1), p_s.dtype)], axis=1)
+    # For a tag-0 (table) row: the next sorted entry is its pixel's
+    # first point iff same cell and tag 1.
+    row_target = jnp.where(
+        (t_s == 0) & (nxt_t == 1) & (nxt_c == c_s), nxt_p, -1)
+    # Compact the tag-0 rows back to row-id order.
+    key = jnp.where(t_s == 0, c_s, hw + n)
+    _, tgt = jax.lax.sort((key, row_target), dimension=1, num_keys=1)
+    tgt = tgt[:, :hw]                                   # (B, HW)
+
+    first_rows = _monotone_spread(table, tgt, tgt >= 0, n, interpret)
+    # (B, N, 3*s2) — zero rows everywhere except each segment's start.
+
+    # Bounded segmented forward fill (channels are all >= 0).
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, pix_s.dtype), pix_s[:, :-1]], axis=1)
+    is_start = pix_s != prev
+    posn = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, posn, -1), axis=1)
+    dist = posn - seg_start
+    filled = first_rows
+    c_tab = first_rows.shape[-1]
+    sh = 1
+    while sh < fill_depth:
+        rolled = jnp.concatenate(
+            [jnp.zeros((b, sh, c_tab), filled.dtype), filled[:, :-sh]],
+            axis=1)
+        filled = jnp.where((dist >= sh)[..., None],
+                           jnp.maximum(filled, rolled), filled)
+        sh *= 2
+
+    # 4. flat k-NN vote.
+    nr = filled[..., :s2]
+    nl = filled[..., s2:2 * s2]
+    nv = filled[..., 2 * s2:3 * s2]
+    dr = jnp.abs(nr - range_s[..., None])
+    big = jnp.array(3.0e38, dr.dtype)
+    dr = jnp.where((nv > 0.5) & (dr < cutoff), dr, big)
+    neg_d, sel = jax.lax.top_k(-dr, k)                  # (B, N, k)
+    d = -neg_d
+    wgt = jnp.where(d < big, 1.0 / (d + 1e-3), 0.0)
+    sel_onehot = jax.nn.one_hot(sel, s2, dtype=jnp.float32)
+    lbl = jnp.einsum("bnks,bns->bnk", sel_onehot, nl)
+    votes = jnp.sum(
+        jax.nn.one_hot(jnp.round(lbl).astype(jnp.int32), num_classes,
+                       dtype=jnp.float32) * wgt[..., None], axis=2)
+    refined = jnp.argmax(votes, axis=-1).astype(jnp.int32)
+    has_vote = jnp.sum(wgt, axis=-1) > 0
+
+    # Fallback to the projected label (pre-refinement behavior) for
+    # points with no valid vote — empty/cutoff window, or a pixel
+    # segment deeper than fill_depth (whose rows are zero-filled), so
+    # the center lane cannot serve as the fallback. One scalar gather
+    # per point (N x 4 bytes) is the only remaining gather in the op.
+    fb = jax.vmap(lambda im, uv: im[uv[:, 0], uv[:, 1]])(
+        image_labels, pixel_uv)                         # (B, N)
+    # fb is in ORIGINAL point order; bring it to sorted order via the
+    # same permutation applied to the points.
+    _, fb_s = jax.lax.sort((pix, idx, fb), dimension=1, num_keys=2)[1:]
+    refined_s = jnp.where(has_vote, refined, fb_s)
+
+    # 5. back to original point order.
+    _, out = jax.lax.sort((idx_s, refined_s), dimension=1, num_keys=1)
+    return out
+
+
 def knn_refine(
     point_range: jax.Array,
     pixel_uv: jax.Array,
@@ -31,40 +188,8 @@ def knn_refine(
     num_classes: int = 20,
     cutoff: float = 1.0,
 ) -> jax.Array:
-    """Refine per-pixel argmax labels into per-point labels.
-
-    point_range: (N,); pixel_uv: (N, 2) int32 (v, u);
-    image_range: (H, W); image_labels: (H, W) int32; image_mask: (H, W).
-    Returns (N,) int32 labels.
-    """
-    h, w = image_range.shape
-    half = window // 2
-    dv, du = jnp.meshgrid(
-        jnp.arange(-half, half + 1), jnp.arange(-half, half + 1),
-        indexing="ij")
-    dv = dv.reshape(-1)
-    du = du.reshape(-1)                                   # (S2,)
-
-    v = jnp.clip(pixel_uv[:, 0:1] + dv[None, :], 0, h - 1)  # (N, S2)
-    u = jnp.clip(pixel_uv[:, 1:2] + du[None, :], 0, w - 1)
-    nbr_range = image_range[v, u]                          # (N, S2)
-    nbr_label = image_labels[v, u]
-    nbr_valid = image_mask[v, u]
-
-    dr = jnp.abs(nbr_range - point_range[:, None])
-    big = jnp.array(jnp.finfo(dr.dtype).max, dr.dtype)
-    dr = jnp.where(nbr_valid & (dr < cutoff), dr, big)
-
-    neg_d, sel = jax.lax.top_k(-dr, k)                     # (N, k)
-    d = -neg_d
-    lbl = jnp.take_along_axis(nbr_label, sel, axis=1)      # (N, k)
-    wgt = jnp.where(d < big, 1.0 / (d + 1e-3), 0.0)
-
-    votes = jnp.zeros((point_range.shape[0], num_classes), wgt.dtype)
-    votes = jax.vmap(lambda vv, ll, ww: vv.at[ll].add(ww, mode="drop"))(
-        votes, lbl, wgt)
-    refined = jnp.argmax(votes, axis=-1).astype(jnp.int32)
-    # Points whose whole window is invalid keep the raw projected label.
-    fallback = image_labels[pixel_uv[:, 0], pixel_uv[:, 1]]
-    has_vote = jnp.sum(wgt, axis=-1) > 0
-    return jnp.where(has_vote, refined, fallback)
+    """Single-cloud wrapper of :func:`knn_refine_batch`."""
+    return knn_refine_batch(
+        point_range[None], pixel_uv[None], image_range[None],
+        image_labels[None], image_mask[None],
+        window=window, k=k, num_classes=num_classes, cutoff=cutoff)[0]

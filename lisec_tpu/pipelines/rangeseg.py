@@ -18,7 +18,7 @@ import numpy as np
 from lisec_tpu.config import Config
 from lisec_tpu.data.semantickitti import SemanticKitti
 from lisec_tpu.models.rangeseg import RangeSegNet
-from lisec_tpu.ops.knn_refine import knn_refine
+from lisec_tpu.ops.knn_refine import knn_refine_batch
 from lisec_tpu.ops.range_proj import range_project
 from lisec_tpu.pipelines.base import Pipeline
 from lisec_tpu.registry import register_model, register_pipeline
@@ -107,11 +107,11 @@ class RangeSegPipeline(Pipeline):
             proj.image, train=False)
         pixel_labels = jnp.argmax(logits, -1).astype(jnp.int32)
 
-        point_labels = jax.vmap(lambda pr, l: knn_refine(
-            pr.point_range, pr.pixel_uv, pr.image[..., 0], l,
-            pr.image_mask, window=self.knn_window, k=self.knn_k,
+        point_labels = knn_refine_batch(
+            proj.point_range, proj.pixel_uv, proj.image[..., 0],
+            pixel_labels, proj.image_mask,
+            window=self.knn_window, k=self.knn_k,
             num_classes=self.num_classes)
-        )(proj, pixel_labels)
         return {
             "labels": point_labels,
             "pixel_labels": pixel_labels,
