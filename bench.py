@@ -29,7 +29,10 @@ def main():
         "data.augment.enabled=false",
         "train.ckpt_dir=",
     ])
-    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    # Batch 16 amortizes per-call dispatch and the tunnel transfer
+    # better than 8 (measured: e2e 87.5 vs 74.7 clouds/s, device 314
+    # vs 298, voxelize 0.65 vs 0.50 GB/s) at the same budgets.
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     result = run_benchmark(cfg, batch_size=batch_size)
     print(json.dumps(result))
 
