@@ -116,6 +116,7 @@ class TrainConfig:
     resume: str = ""                  # "" | "auto" | explicit path
     num_devices: int = 0              # 0 = use all visible devices (DP)
     debug_nans: bool = False          # jax_debug_nans for CI runs (§5.2)
+    tensorboard: bool = False         # TB event files next to metrics.jsonl
     # P2 multi-host launcher (SURVEY.md §2.4): one process per host.
     multihost: bool = False           # jax.distributed.initialize at startup
     coordinator: str = ""             # "" = TPU-pod auto-detect

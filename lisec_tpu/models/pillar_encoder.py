@@ -53,7 +53,8 @@ class FusedPillarEncoder(nn.Module):
     voxel_size: Tuple[float, float] = (0.16, 0.16)
     grid: Tuple[int, int] = (432, 496)            # (nx, ny)
     dtype: jnp.dtype = jnp.float32
-    fast_inference: bool = True                   # Pallas paint when !train
+    fast_inference: bool = True                   # fused Pallas kernel
+    fast_train: bool = True                       # paint/unpaint VJP path
 
     def _cells(self, points, point_mask):
         nx, ny = self.grid
@@ -81,10 +82,16 @@ class FusedPillarEncoder(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
 
-        if train or not self.fast_inference or self.is_initializing():
+        if (self.is_initializing()
+                or (train and not self.fast_train)
+                or (not train and not self.fast_inference)):
             canvas = self._reference_path(
                 points, point_mask, kernel, bn_scale, bn_bias,
                 ra_mean, ra_var, train)
+        elif train:
+            canvas = self._train_pallas_path(
+                points, point_mask, kernel, bn_scale, bn_bias,
+                ra_mean, ra_var)
         else:
             canvas = self._pallas_path(
                 points, point_mask, kernel, bn_scale, bn_bias,
@@ -154,61 +161,95 @@ class FusedPillarEncoder(nn.Module):
         h = jnp.where(valid[..., None], h, 0.0)
         return jax.vmap(canvas_one)(cell, h)               # (B, NC, C)
 
-    # -- Pallas path (inference): sort + slab paint ----------------------
+    # -- Pallas path (training): differentiable sort + paint/unpaint -----
 
-    def _pallas_path(self, points, point_mask, kernel, bn_scale,
-                     bn_bias, ra_mean, ra_var):
+    def _train_pallas_path(self, points, point_mask, kernel, bn_scale,
+                           bn_bias, ra_mean, ra_var):
+        """Training encoder without XLA scatters (~30 ms/batch-8 on the
+        measured ~2 GB/s scatter ceiling): co-sort points by cell, get
+        per-cell stats with the paint kernel, route per-point means back
+        with the unpaint kernel (gather at MXU speed), then the only
+        step touched by autodiff is feats @ W -> BN -> relu ->
+        segment_max_sorted (custom VJP, ops/scatter.py). The decoration
+        pipeline is parameter-free, so it sits under stop_gradient.
+        Numerics match `_reference_path` modulo float association (same
+        point multiset for the BN batch stats, exact routing)."""
         from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+        from lisec_tpu.ops.pallas.unpaint import segment_unpaint
+        from lisec_tpu.ops.scatter import segment_max_sorted
 
         nx, ny = self.grid
         ncells = nx * ny
         r = self.pc_range
+        b, n, _ = points.shape
         cell, _, _, _ = self._cells(points, point_mask)
 
-        # Co-sort (cell, x, y, z, refl) along the point axis — the only
-        # data-dependent movement, at lax.sort speed.
         cell_s, xs, ys, zs, rs = jax.lax.sort(
             (cell, points[..., 0], points[..., 1], points[..., 2],
              points[..., 3]), dimension=1, num_keys=1)
+        valid_s = (cell_s < ncells).astype(jnp.float32)
 
-        # Fold inference BN into the PFN weights: y = s*h + t.
+        interpret = jax.devices()[0].platform != "tpu"
+        ones = valid_s[..., None]
+        svals = jnp.concatenate(
+            [jnp.stack([xs, ys, zs], -1) * ones,
+             jnp.zeros((b, n, 124), jnp.float32), ones], axis=-1)
+        stats = segment_paint(
+            svals, cell_s, num_cells=ncells, num_max=0,
+            count_channel=127, slab=2048, window=512,
+            interpret=interpret)                           # (B, NC, 128)
+        per_pt = segment_unpaint(
+            stats, cell_s, num_rows=ncells, interpret=interpret)
+        cnt_pt = jnp.maximum(per_pt[..., 127:], 1.0)
+        mean_pt = per_pt[..., :3] / cnt_pt                 # (B, N, 3)
+
+        cell_c = jnp.minimum(cell_s, ncells - 1)
+        px = ((cell_c % nx).astype(jnp.float32) + 0.5) \
+            * self.voxel_size[0] + r[0]
+        py = ((cell_c // nx).astype(jnp.float32) + 0.5) \
+            * self.voxel_size[1] + r[1]
+        xyz_s = jnp.stack([xs, ys, zs], -1)
+        feats = jnp.concatenate(
+            [jnp.stack([xs, ys, zs, rs], -1),
+             xyz_s - mean_pt,
+             jnp.stack([xs - px, ys - py], -1)], axis=-1) * ones
+        feats = jax.lax.stop_gradient(feats)               # (B, N, 9)
+
+        h = (feats.astype(self.dtype)
+             @ kernel.astype(self.dtype))
+        h32 = h.astype(jnp.float32)
+        mu = jnp.mean(h32, axis=(0, 1))
+        var = jnp.var(h32, axis=(0, 1))
+        if not self.is_initializing():
+            ra_mean.value = (_BN_MOMENTUM * ra_mean.value
+                             + (1.0 - _BN_MOMENTUM) * mu)
+            ra_var.value = (_BN_MOMENTUM * ra_var.value
+                            + (1.0 - _BN_MOMENTUM) * var)
+        s = bn_scale * jax.lax.rsqrt(var + _BN_EPS)
+        t = bn_bias - s * mu
+        hr = nn.relu((h32 * s + t).astype(self.dtype))     # (B, N, C)
+
+        canvas, count = segment_max_sorted(
+            hr, cell_s, ncells, interpret)
+        canvas = jnp.where(count[..., None] > 0.0, canvas, 0.0)
+        return canvas.astype(self.dtype)
+
+    # -- Pallas path (inference): one fully-fused kernel -----------------
+
+    def _pallas_path(self, points, point_mask, kernel, bn_scale,
+                     bn_bias, ra_mean, ra_var):
+        from lisec_tpu.ops.pallas.encoder_kernel import pillar_canvas_fused
+
+        # Fold inference BN into the PFN weights: y = s*h + t; the
+        # kernel does sort -> scan -> route -> epilogue in one pass and
+        # writes the canvas directly in the compute dtype (see
+        # ops/pallas/encoder_kernel.py for the design).
         s = bn_scale * jax.lax.rsqrt(ra_var + _BN_EPS)
         t = bn_bias - s * ra_mean
         w = kernel * s[None, :]                            # (9, C)
-
-        # Per-point linear term on ABSOLUTE decorations (f32: absolute
-        # coords do not survive bf16).
-        feats_abs = jnp.stack(
-            [xs, ys, zs, rs, xs, ys, zs, xs, ys], axis=-1)
-        u = feats_abs @ w                                  # (B, N, C) f32
-
-        # Pack [u | x y z 1 | pad] into the kernel's 128 channels:
-        # u is max-reduced per cell, xyz/count sum-reduced.
-        c = u.shape[-1]
-        ones = jnp.ones_like(xs)
-        packed = jnp.concatenate(
-            [u, jnp.stack([xs, ys, zs, ones], axis=-1),
-             jnp.zeros(u.shape[:2] + (128 - c - 4,), u.dtype)], axis=-1)
-
         interpret = jax.devices()[0].platform != "tpu"
-        window = 512   # segment_paint pads N to a window multiple
-        table = segment_paint(
-            packed, cell_s, num_cells=ncells,
-            num_max=c, count_channel=c + 3,
-            slab=2048, window=window,
-            interpret=interpret)                           # (B, NC, 128)
-
-        umax = table[..., :c]
-        count = table[..., c + 3:c + 4]
-        mean = table[..., c:c + 3] / jnp.maximum(count, 1.0)
-        idx = jnp.arange(ncells, dtype=jnp.int32)
-        px = ((idx % nx).astype(jnp.float32) + 0.5) \
-            * self.voxel_size[0] + r[0]
-        py = ((idx // nx).astype(jnp.float32) + 0.5) \
-            * self.voxel_size[1] + r[1]
-        center = jnp.stack([px, py], axis=-1)              # (NC, 2)
-
-        b_cell = mean @ w[4:7] + center[None] @ w[7:9]     # (B, NC, C)
-        canvas = nn.relu(umax - b_cell + t[None, None])
-        canvas = jnp.where(count > 0.0, canvas, 0.0)
-        return canvas.astype(self.dtype)
+        return pillar_canvas_fused(
+            points.astype(jnp.float32), point_mask, w, t,
+            grid=self.grid, voxel_size=self.voxel_size,
+            pc_range=self.pc_range, out_dtype=self.dtype,
+            interpret=interpret)

@@ -1,0 +1,273 @@
+"""Fully-fused pillar-encoder kernel: sorted raw points -> BEV canvas.
+
+Round-3 rework of the inference encoder (SURVEY.md §2.3 O1/O6 + §2.2
+M3). Round 2 composed it as XLA glue around the generic slab-paint
+kernel: pack 128-lane point records -> transpose -> paint an f32
+(B, cells, 128) table -> read the table back for the BN/mean/center
+epilogue. Measured cost 14.8 ms/batch-8 (kernel 8.3 + glue 6.5),
+dominated by the ~880 MB f32 table write + re-read and by scanning
+2x128 sublanes per window when only 64 need max and 4 need sum
+(docs/ROUND3_NOTES.md "cheap wins").
+
+This kernel does the whole encoder in one pass:
+
+  1. XLA co-sorts (cell, x, y, z, r) — the only data-dependent
+     movement, at lax.sort speed — and stacks (B, 8, N) channels
+     [x, y, z, r, 1, 0, 0, 0].
+  2. Per window (DMA'd HBM->VMEM, double-buffered) the kernel computes
+     the per-point PFN linear term u = [x,y,z,r] @ weff in-register
+     (weff folds the absolute-decoration columns: feats_abs =
+     [x,y,z,r,x,y,z,x,y] so weff = [w0+w4+w7, w1+w5+w8, w2+w6, w3]),
+     then runs a segmented MAX-scan over u's C sublanes and a
+     segmented SUM-scan over the 8 stat sublanes — C+8 sublanes of
+     scan work instead of 256.
+  3. One hi/lo-split bf16 MXU matmul pair routes each cell's segment
+     end (max u | sum x,y,z,count) to its slab row (exact: the one-hot
+     matmul is a selection).
+  4. The per-cell epilogue runs in-kernel on the f32 accumulators:
+     canvas = relu(max(u) - mean @ w[4:7] - center @ w[7:9] + t),
+     0 where empty — and the canvas is written ONCE, in the compute
+     dtype (bf16 for the backbone), never a 128-lane f32 table.
+
+BatchNorm is folded into (w, t) by the caller (inference only; the
+training path lives in models/pillar_encoder.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -3.0e38
+LANES = 128
+
+
+def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
+                    out_ref, pts_s, cell_s, acc_u, acc_s, sems,
+                    *, slab: int, window: int, c: int, nx: int,
+                    vx: float, vy: float, x0: float, y0: float):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    lo = offs_ref[b, s]
+    hi = offs_ref[b, s + 1]
+    base = s * slab
+    w = window
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (slab, w), 0)
+
+    acc_u[:] = jnp.full((slab, c), _NEG, jnp.float32)
+    acc_s[:] = jnp.zeros((slab, 8), jnp.float32)
+
+    nwin = jnp.where(hi > lo, (hi - 1) // w - lo // w + 1, 0)
+
+    def copies(wi, slot):
+        start = (lo // w + wi) * w
+        return (
+            pltpu.make_async_copy(
+                pts_hbm.at[b, :, pl.ds(start, w)],
+                pts_s.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                cell_hbm.at[b, :, pl.ds(start, w)],
+                cell_s.at[slot], sems.at[slot, 1]),
+        )
+
+    @pl.when(nwin > 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    def body(wi, _):
+        slot = jax.lax.rem(wi, 2)
+        @pl.when(wi + 1 < nwin)
+        def _():
+            for cp in copies(wi + 1, 1 - slot):
+                cp.start()
+        for cp in copies(wi, slot):
+            cp.wait()
+
+        cell = cell_s[slot]                                # (1, w)
+        blk = pts_s[slot]                                  # (8, w)
+        inrange = (cell >= base) & (cell < base + slab)
+        local = jnp.where(inrange, cell - base, slab)
+
+        # Segment geometry along the sorted point axis.
+        prev = pltpu.roll(local, shift=1, axis=1)
+        is_start = (local != prev) | (lane == 0)
+        seg_start = jnp.where(is_start, lane, -1)
+        sh = 1
+        while sh < w:
+            rolled = pltpu.roll(seg_start, shift=sh, axis=1)
+            rolled = jnp.where(lane >= sh, rolled, -1)
+            seg_start = jnp.maximum(seg_start, rolled)
+            sh *= 2
+        dist = lane - seg_start                            # (1, w)
+
+        # Per-point PFN linear term u (C, w): 4 exact f32 broadcast
+        # FMAs (absolute coords do not survive bf16/MXU passes).
+        u = weffT_ref[:, 0:1] * blk[0:1]
+        for i in (1, 2, 3):
+            u = u + weffT_ref[:, i:i + 1] * blk[i:i + 1]
+        u = jnp.where(inrange, u, _NEG)
+        st = jnp.where(inrange, blk, 0.0)                  # (8, w)
+
+        # Segmented max-scan (u) + sum-scan (stats): C+8 sublanes.
+        sh = 1
+        while sh < w:
+            ok = dist >= sh
+            ru = pltpu.roll(u, shift=sh, axis=1)
+            ru = jnp.where(lane >= sh, ru, _NEG)
+            u = jnp.where(ok, jnp.maximum(u, ru), u)
+            rs = pltpu.roll(st, shift=sh, axis=1)
+            rs = jnp.where(lane >= sh, rs, 0.0)
+            st = jnp.where(ok, st + rs, st)
+            sh *= 2
+
+        # Route segment ends to slab rows: one hi/lo bf16 matmul pair
+        # over the concatenated (C+8, w) scan results — exact, since
+        # the one-hot routing matmul is a selection.
+        nxt = pltpu.roll(local, shift=w - 1, axis=1)       # circular -1
+        is_end = (local != nxt) | (lane == w - 1)
+        r_end = ((rows_w == local) & is_end).astype(jnp.bfloat16)
+        cat = jnp.concatenate([u, st], axis=0)             # (C+8, w)
+        c_hi = cat.astype(jnp.bfloat16)
+        c_lo = (cat - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        routed = (
+            jax.lax.dot_general(r_end, c_hi, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(r_end, c_lo, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+        )                                                  # (slab, C+8)
+        r_u = routed[:, :c]
+        r_s = routed[:, c:c + 8]
+        # Rows with no segment end this window routed all-zeros; the
+        # count column tells them apart (maxes gate, sums just add).
+        has = r_s[:, 4:5] > 0.0
+        acc_u[:] = jnp.where(has, jnp.maximum(acc_u[:], r_u), acc_u[:])
+        acc_s[:] = acc_s[:] + r_s
+        return 0
+
+    jax.lax.fori_loop(0, nwin, body, 0)
+
+    # In-kernel epilogue: canvas = relu(umax - mean @ w[4:7]
+    # - center @ w[7:9] + t), zero where the cell is empty.
+    sums = acc_s[:]
+    cnt = sums[:, 4:5]
+    safe = jnp.maximum(cnt, 1.0)
+    cell_idx = base + jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+    ix = jax.lax.rem(cell_idx, nx)
+    iy = cell_idx // nx
+    px = (ix.astype(jnp.float32) + 0.5) * vx + x0
+    py = (iy.astype(jnp.float32) + 0.5) * vy + y0
+    b_cell = (
+        (sums[:, 0:1] / safe) * wrows_ref[0:1]
+        + (sums[:, 1:2] / safe) * wrows_ref[1:2]
+        + (sums[:, 2:3] / safe) * wrows_ref[2:3]
+        + px * wrows_ref[3:4]
+        + py * wrows_ref[4:5]
+    )                                                      # (slab, C)
+    canvas = jnp.maximum(acc_u[:] - b_cell + wrows_ref[5:6], 0.0)
+    canvas = jnp.where(cnt > 0.0, canvas, 0.0)
+    out_ref[0] = canvas.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=(
+    "grid", "voxel_size", "pc_range", "slab", "window", "out_dtype",
+    "interpret"))
+def pillar_canvas_fused(
+    points: jax.Array,         # (B, N, 4) f32: x, y, z, reflectance
+    point_mask: jax.Array,     # (B, N) bool/int
+    w: jax.Array,              # (9, C) f32 — BN-folded PFN weights
+    t: jax.Array,              # (C,) f32 — BN-folded bias
+    *,
+    grid: Tuple[int, int],     # (nx, ny)
+    voxel_size: Tuple[float, float],
+    pc_range: Tuple[float, ...],
+    slab: int = 2048,
+    window: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-kernel pillar encoder: returns the (B, ny*nx, C) canvas."""
+    b, n, _ = points.shape
+    c = w.shape[1]
+    nx, ny = grid
+    ncells = nx * ny
+    r = pc_range
+
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    ix = jnp.floor((x - r[0]) / voxel_size[0]).astype(jnp.int32)
+    iy = jnp.floor((y - r[1]) / voxel_size[1]).astype(jnp.int32)
+    valid = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+             & (z >= r[2]) & (z < r[5]) & point_mask.astype(bool))
+    cell = jnp.where(valid, iy * nx + ix, ncells)
+
+    cell_s, xs, ys, zs, rs = jax.lax.sort(
+        (cell, points[..., 0], points[..., 1], points[..., 2],
+         points[..., 3]), dimension=1, num_keys=1)
+
+    num_slabs = -(-ncells // slab)
+    padded_cells = num_slabs * slab
+    if n % window:
+        pad = window - n % window
+        z8 = jnp.zeros((b, pad), jnp.float32)
+        xs, ys, zs, rs = (jnp.concatenate([a, z8], axis=1)
+                          for a in (xs, ys, zs, rs))
+        cell_s = jnp.concatenate(
+            [cell_s, jnp.full((b, pad), padded_cells, cell_s.dtype)],
+            axis=1)
+        n += pad
+
+    ones = jnp.ones((b, n), jnp.float32)
+    zero = jnp.zeros((b, n), jnp.float32)
+    pts8 = jnp.stack([xs, ys, zs, rs, ones, zero, zero, zero], axis=1)
+
+    bounds = jnp.arange(num_slabs + 1, dtype=jnp.int32) * slab
+    offsets = jax.vmap(
+        lambda cc: jnp.searchsorted(cc, bounds, side="left"))(cell_s)
+    offsets = offsets.astype(jnp.int32)
+
+    # weff folds the absolute-decoration columns of the 9-ch PFN:
+    # feats_abs = [x,y,z,r,x,y,z,x,y] => u = [x,y,z,r] @ weff.
+    weff = jnp.stack([w[0] + w[4] + w[7], w[1] + w[5] + w[8],
+                      w[2] + w[6], w[3]], axis=0)           # (4, C)
+    weffT = jnp.concatenate(
+        [weff.T, jnp.zeros((c, 4), jnp.float32)], axis=1)   # (C, 8)
+    wrows = jnp.concatenate(
+        [w[4:9], t[None], jnp.zeros((2, c), jnp.float32)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_slabs),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # pts (B,8,N)
+            pl.BlockSpec(memory_space=pl.ANY),             # cell (B,1,N)
+            pl.BlockSpec((c, 8), lambda b_, s_, offs: (0, 0)),
+            pl.BlockSpec((8, c), lambda b_, s_, offs: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, slab, c), lambda b_, s_, offs: (b_, s_, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, window), jnp.float32),       # double buffer
+            pltpu.VMEM((2, 1, window), jnp.int32),
+            pltpu.VMEM((slab, c), jnp.float32),            # acc max(u)
+            pltpu.VMEM((slab, 8), jnp.float32),            # acc sums
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_encoder_kernel, slab=slab, window=window, c=c, nx=nx,
+                vx=float(voxel_size[0]), vy=float(voxel_size[1]),
+                x0=float(r[0]), y0=float(r[1])),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, padded_cells, c), out_dtype),
+        interpret=interpret,
+    )(offsets, pts8, cell_s[:, None, :], weffT, wrows)
+    return out[:, :ncells]

@@ -53,7 +53,7 @@ LANES = 128
 def _paint_kernel(offs_ref, vals_hbm, cell_hbm, out_ref,
                   vals_s, cell_s, sems,
                   *, slab: int, window: int, num_max: int,
-                  count_channel: int):
+                  count_channel: int, exact: bool):
     b = pl.program_id(0)
     s = pl.program_id(1)
     lo = offs_ref[b, s]
@@ -149,15 +149,22 @@ def _paint_kernel(offs_ref, vals_hbm, cell_hbm, out_ref,
         nxt = pltpu.roll(local, shift=w - 1, axis=1)      # circular -1
         is_end = (local != nxt) | (lane == w - 1)
         r_end = ((rows == local) & is_end).astype(jnp.bfloat16)
-        s_hi = scanned.astype(jnp.bfloat16)
-        s_lo = (scanned - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dn = (((1,), (1,)), ((), ()))
-        routed = (
-            jax.lax.dot_general(r_end, s_hi, dimension_numbers=dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(r_end, s_lo, dimension_numbers=dn,
-                                  preferred_element_type=jnp.float32)
-        )                                                 # (slab, 128)
+
+        def route(v):
+            return jax.lax.dot_general(
+                r_end, v, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        s_hi = scanned.astype(jnp.bfloat16)
+        r1 = scanned - s_hi.astype(jnp.float32)
+        s_mid = r1.astype(jnp.bfloat16)
+        routed = route(s_hi) + route(s_mid)               # (slab, 128)
+        if exact:
+            # Third split term: bf16 x3 carries all 24 f32 mantissa
+            # bits, making the selection bit-exact (needed by the
+            # segment-max VJP's argmax-equality indicator).
+            s_lo = (r1 - s_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            routed = routed + route(s_lo)
 
         cnt = jnp.sum(
             jnp.where(out_lane == count_channel, routed, 0.0),
@@ -173,7 +180,7 @@ def _paint_kernel(offs_ref, vals_hbm, cell_hbm, out_ref,
 
 @partial(jax.jit, static_argnames=("num_cells", "num_max",
                                    "count_channel", "slab", "window",
-                                   "interpret"))
+                                   "interpret", "exact"))
 def segment_paint(
     vals: jax.Array,           # (B, N, 128) f32, sorted by cell
     cell_sorted: jax.Array,    # (B, N) int32 ascending; invalid >= num_cells
@@ -184,6 +191,7 @@ def segment_paint(
     slab: int = 512,
     window: int = 512,
     interpret: bool = False,
+    exact: bool = False,       # bf16 x3 routing: bit-exact selection
 ) -> jax.Array:
     """Dense per-cell reduction table (B, num_cells, 128) f32.
 
@@ -232,7 +240,8 @@ def segment_paint(
     )
     out = pl.pallas_call(
         partial(_paint_kernel, slab=slab, window=window,
-                num_max=num_max, count_channel=count_channel),
+                num_max=num_max, count_channel=count_channel,
+                exact=exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, padded_cells, LANES), jnp.float32),

@@ -60,3 +60,69 @@ def pillar_scatter_max(
                    point_features.dtype)
     out = out.at[idx].max(point_features, mode="drop")
     return jnp.where(jnp.isfinite(out[:-1]), out[:-1], 0.0)
+
+
+# -- differentiable sorted segment-max (Pallas paint fwd / unpaint bwd) --
+#
+# The train-path pillar encoder needs the per-cell max of sorted
+# per-point features WITH a gradient. XLA's scatter-max runs at the
+# ~2 GB/s scatter ceiling in both directions; here the forward is the
+# slab-paint kernel and the backward routes (canvas, cotangent) back to
+# the points with the slab-unpaint kernel, then masks by the argmax
+# indicator h == canvas[cell] (exact: both kernels' one-hot routing is
+# a selection; ties are measure-zero for float inputs and relu-clipped
+# ties carry zero upstream gradient anyway).
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def segment_max_sorted(h, cell_sorted, num_cells, interpret=False):
+    """Per-cell max of ascending-cell-sorted features.
+
+    h: (B, N, C<=64) per-point features (any float dtype), sorted by
+    ``cell_sorted`` (B, N) int32 ascending; invalid >= num_cells.
+    Returns (canvas (B, num_cells, C) f32 with -3e38 where empty,
+    count (B, num_cells) f32 valid-point counts).
+    """
+    return _segmax_impl(h, cell_sorted, num_cells, interpret)
+
+
+def _segmax_impl(h, cell_sorted, num_cells, interpret):
+    from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+
+    b, n, c = h.shape
+    assert 2 * c <= 128, "segment_max_sorted supports C <= 64"
+    vals = jnp.concatenate([
+        h.astype(jnp.float32),
+        jnp.zeros((b, n, 127 - c), jnp.float32),
+        jnp.ones((b, n, 1), jnp.float32)], axis=-1)
+    tab = segment_paint(
+        vals, cell_sorted, num_cells=num_cells, num_max=c,
+        count_channel=127, slab=2048, window=512, interpret=interpret,
+        exact=True)
+    return tab[..., :c], tab[..., 127]
+
+
+def _segmax_fwd(h, cell_sorted, num_cells, interpret):
+    canvas, count = _segmax_impl(h, cell_sorted, num_cells, interpret)
+    return (canvas, count), (h, cell_sorted, canvas)
+
+
+def _segmax_bwd(num_cells, interpret, res, g):
+    from lisec_tpu.ops.pallas.unpaint import segment_unpaint
+
+    h, cell_sorted, canvas = res
+    g_canvas, _ = g                      # count carries no h-gradient
+    b, _, c = h.shape
+    tab = jnp.concatenate([
+        canvas, g_canvas.astype(jnp.float32),
+        jnp.zeros((b, canvas.shape[1], 128 - 2 * c), jnp.float32)],
+        axis=-1)
+    per_pt = segment_unpaint(tab, cell_sorted, num_rows=num_cells,
+                             interpret=interpret, exact=True)
+    mx = per_pt[..., :c]
+    gp = per_pt[..., c:2 * c]
+    dh = jnp.where(h.astype(jnp.float32) == mx, gp, 0.0)
+    return dh.astype(h.dtype), None
+
+
+segment_max_sorted.defvjp(_segmax_fwd, _segmax_bwd)

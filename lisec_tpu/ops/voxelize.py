@@ -114,8 +114,14 @@ def voxelize_batch(
     kk = max_points_per_voxel
     nx, ny, _ = grid_size[0], grid_size[1], grid_size[2]
     num_cells = grid_size[0] * grid_size[1] * grid_size[2]
-    assert c + 4 <= 8, ("slot packing stores C point channels + count "
-                        "+ 3 coords in an 8-lane record; C must be <= 4")
+    # Slot packing stores C point channels + count + 3 coords in a
+    # record of 8 lanes (C <= 4, 16 slots/row) or 16 lanes (C <= 12,
+    # 8 slots/row).
+    if c + 4 > 16:
+        raise ValueError(
+            f"voxelize supports at most 12 point channels, got {c}")
+    rw = 8 if c + 4 <= 8 else 16        # record width in lanes
+    spr = 128 // rw                     # slots packed per table row
 
     cell, _ = point_cell_ids(points, point_mask, pc_range, voxel_size,
                              grid_size)
@@ -147,7 +153,7 @@ def voxelize_batch(
     keep = valid_s & (voxel_rank < max_voxels) & (within < kk)
     slot = voxel_rank * kk + within                     # strictly increasing
 
-    # Per-point 8-channel record: [point C.. | count | coords+1] (+1 so
+    # Per-point record: [point C.. | count | coords+1 | pad] (+1 so
     # empty rows decode to -1 after the subtraction).
     cell_clip = jnp.minimum(cell_s, num_cells - 1)
     cz = (cell_clip // (nx * ny)).astype(jnp.float32)
@@ -157,27 +163,36 @@ def voxelize_batch(
     rec = jnp.concatenate(
         [pts_s.astype(jnp.float32),
          jnp.stack([ones, cz + 1, cy + 1, cx + 1], axis=-1),
-         jnp.zeros((b, n, 8 - c - 4), jnp.float32)], axis=-1)  # (B,N,8)
+         jnp.zeros((b, n, rw - c - 4), jnp.float32)], axis=-1)  # (B,N,rw)
 
-    # Pack 16 slots per 128-lane table row: each point's 8 channels go
-    # to lane offset 8*(slot % 16) (a cheap outer product — slots are
+    # Pack `spr` slots per 128-lane table row: each point's record goes
+    # to lane offset rw*(slot % spr) (a cheap outer product — slots are
     # unique, so lane-disjoint SUM routing reconstructs them exactly).
-    # A 128-lane row per slot would write a 16x larger table (measured:
+    # A 128-lane row per slot would write a much larger table (measured:
     # the table I/O dominated the whole op).
     total_slots = max_voxels * kk
-    num_rows = -(-total_slots // 16)
-    sub = jax.nn.one_hot(slot % 16, 16, dtype=jnp.float32)    # (B,N,16)
+    num_rows = -(-total_slots // spr)
+    sub = jax.nn.one_hot(slot % spr, spr, dtype=jnp.float32)  # (B,N,spr)
     packed = (sub[..., :, None] * rec[..., None, :]).reshape(b, n, 128)
-    row = jnp.where(keep, slot // 16, num_rows)
+    # segment_paint's slab offsets assume the row stream is ASCENDING,
+    # so dropped points must NOT get an out-of-band sentinel row (that
+    # would truncate every later slab's range). Instead: zero their
+    # packed record and monotonize their row target with a running max
+    # (a zero sum lands harmlessly on whatever row precedes them) —
+    # the same trick as sparse_conv._monotone_spread.
+    packed = jnp.where(keep[..., None], packed, 0.0)
+    row = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(keep, slot // spr, -1), axis=1)
+    row = jnp.maximum(row, 0)
 
     window = 512    # segment_paint pads N to a window multiple
     interpret = jax.devices()[0].platform != "tpu"
     table = segment_paint(
         packed, row, num_cells=num_rows,
-        num_max=0, count_channel=8, slab=2048, window=window,
-        interpret=interpret)                      # (B, ~P*K/16, 128)
-    table = table.reshape(b, num_rows * 16, 8)[:, :total_slots]
-    table = table.reshape(b, max_voxels, kk, 8)
+        num_max=0, count_channel=127, slab=2048, window=window,
+        interpret=interpret)                      # (B, ~P*K/spr, 128)
+    table = table.reshape(b, num_rows * spr, rw)[:, :total_slots]
+    table = table.reshape(b, max_voxels, kk, rw)
 
     voxels = table[..., :c].astype(points.dtype)        # (B, P, K, C)
     num_points = jnp.round(

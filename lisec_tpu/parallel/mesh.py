@@ -40,16 +40,28 @@ def initialize_distributed(
     deployment); explicit coordinator/rank args cover manual launches.
     Returns True if initialization ran, False if it was skipped
     (already initialized, or a single-process run).
+
+    When the caller passed explicit coordination args, failures other
+    than "already initialized" RE-RAISE: silently degrading an
+    explicitly requested multi-host launch to N independent
+    single-host trainings (each computing the "global" batch with
+    process_count()==1) is the worst possible failure mode.
     """
+    explicit = any(v is not None for v in
+                   (coordinator_address, num_processes, process_id))
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
         return True
-    except (RuntimeError, ValueError):
-        # Already initialized, or single-process environment without
-        # auto-detectable coordination — both fine.
+    except (RuntimeError, ValueError) as e:
+        if "already initialized" in str(e).lower():
+            return False
+        if explicit:
+            raise
+        # Auto-detect mode on a single-process environment without
+        # coordination metadata — benign.
         return False
 
 

@@ -296,7 +296,9 @@ class PointPillarsPipeline(Pipeline):
             "recall@0.5": hit_gt / max(total_gt, 1),
             "mean_detections": num_det / max(n * self.cfg.train.batch_size, 1),
         }
-        if self.cfg.model.params.get("eval_ap", False):
+        # Full KITTI AP is the acceptance metric (BASELINE.json:2), so
+        # it is ON by default; set eval_ap=false for recall-only speed.
+        if self.cfg.model.params.get("eval_ap", True):
             from lisec_tpu.eval.kitti_ap import evaluate_pipeline_ap
             metrics.update(evaluate_pipeline_ap(
                 self, state, split="val",

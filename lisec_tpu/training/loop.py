@@ -20,23 +20,35 @@ from lisec_tpu.config import Config
 
 
 class MetricsLogger:
-    """Structured JSONL metrics writer (SURVEY.md §5.5)."""
+    """Structured JSONL metrics writer, with an optional TensorBoard
+    scalar mirror (SURVEY.md §5.5; utils/tb_writer.py)."""
 
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], tensorboard: bool = False):
         self.path = path
         self.file = None
+        self.tb = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self.file = open(path, "a")
+            if tensorboard:
+                from lisec_tpu.utils.tb_writer import TensorBoardWriter
+                self.tb = TensorBoardWriter(
+                    os.path.join(os.path.dirname(path) or ".", "tb"))
 
     def log(self, record: Dict) -> None:
         if self.file:
             self.file.write(json.dumps(record) + "\n")
             self.file.flush()
+        if self.tb:
+            step = int(record.get("step", 0))
+            self.tb.write_scalars(
+                step, {k: v for k, v in record.items() if k != "step"})
 
     def close(self) -> None:
         if self.file:
             self.file.close()
+        if self.tb:
+            self.tb.close()
 
 
 def run_training(cfg: Config, *, progress: bool = True):
@@ -73,7 +85,8 @@ def run_training(cfg: Config, *, progress: bool = True):
 
     logger = MetricsLogger(
         os.path.join(cfg.train.ckpt_dir, "metrics.jsonl")
-        if cfg.train.ckpt_dir else None)
+        if cfg.train.ckpt_dir else None,
+        tensorboard=cfg.train.tensorboard)
 
     from lisec_tpu.data.collate import prefetch
 
@@ -88,18 +101,17 @@ def run_training(cfg: Config, *, progress: bool = True):
         assert cfg.train.batch_size % jax.process_count() == 0, (
             "global batch size must divide evenly across hosts")
         local_batch_size = cfg.train.batch_size // jax.process_count()
-    batches = prefetch(make_batches(
-        dataset, cfg.budget, local_batch_size,
-        shuffle=True, seed=cfg.train.seed + jax.process_index(),
-        augment_fn=pipeline.augment_fn("train")))
-
     rng = jax.random.PRNGKey(cfg.train.seed + 17)
     history = []
     start_step = int(state.step)
-    # Realign the (deterministic, seeded) data stream after a resume so
+    # The data stream is seekable (shuffle/augment RNG derive from the
+    # step index — collate.make_batches), so resuming realigns in O(1):
     # "train N" == "train k, resume, train N-k" exactly (SURVEY.md §5.4).
-    for _ in range(start_step):
-        next(batches)
+    batches = prefetch(make_batches(
+        dataset, cfg.budget, local_batch_size,
+        shuffle=True, seed=cfg.train.seed + jax.process_index(),
+        augment_fn=pipeline.augment_fn("train"),
+        start_batch=start_step))
     t0 = time.time()
     samples_done = 0
 

@@ -82,3 +82,43 @@ class TestModelNetDisk:
         assert 0 <= s["label"] < 3
         # Unit-sphere normalized.
         assert np.linalg.norm(s["points"], axis=1).max() <= 1.0 + 1e-5
+
+
+class TestSeekableBatches:
+    def test_start_batch_equals_skipping(self):
+        """make_batches(start_batch=k) == consuming k batches first —
+        the O(1) resume contract (shuffle from (seed, epoch), augment
+        RNG from (seed, epoch, batch))."""
+        import numpy as np
+        from lisec_tpu.config import BudgetConfig
+        from lisec_tpu.data.collate import make_batches
+
+        class DS:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                r = np.random.default_rng(i)
+                return {"points": r.normal(size=(32, 4)).astype(np.float32),
+                        "label": i % 4}
+
+        ds, budget = DS(), BudgetConfig(max_points=32)
+
+        def jitter(sample, rng):
+            s = dict(sample)
+            s["points"] = sample["points"] + rng.normal(
+                0, 0.01, sample["points"].shape).astype(np.float32)
+            return s
+
+        k = 7
+        full = make_batches(ds, budget, 4, shuffle=True, seed=3,
+                            augment_fn=jitter)
+        for _ in range(k):
+            next(full)
+        seek = make_batches(ds, budget, 4, shuffle=True, seed=3,
+                            augment_fn=jitter, start_batch=k)
+        for _ in range(3):
+            a, b = next(full), next(seek)
+            assert a.keys() == b.keys()
+            for key in a:
+                np.testing.assert_array_equal(a[key], b[key])

@@ -78,6 +78,46 @@ class TestVoxelize:
         assert int(res.num_voxels) == 1
         np.testing.assert_array_equal(np.asarray(res.point_voxel), pv)
 
+    def test_overflow_multi_slab(self, rng):
+        # Regression (round-2 ADVICE, high): with a multi-slab table
+        # (max_voxels * K / 16 > 2048 — true for both KITTI configs) an
+        # overflowing cell used to emit an out-of-band sentinel row
+        # mid-stream, truncating every later slab's searchsorted range
+        # and silently zeroing later voxels.
+        n_cells = 3000
+        cell_pts = np.stack([
+            (np.arange(n_cells) % 80) * 0.5 + 0.25,
+            (np.arange(n_cells) // 80) * 0.5 - 19.75,
+            np.zeros(n_cells),
+            np.full(n_cells, 0.5),
+        ], axis=-1).astype(np.float32)
+        overflow = np.tile(
+            np.array([[0.25, -19.75, 0.0, 0.9]], np.float32), (400, 1))
+        pts = np.concatenate([overflow, cell_pts[1:]], axis=0)
+        mask = np.ones(len(pts), bool)
+        res, (v, c, npts, nv, pv) = self._run(
+            pts, mask, max_v=4096, max_p=16)
+        assert int(res.num_voxels) == nv == n_cells
+        np.testing.assert_array_equal(np.asarray(res.coords), c)
+        np.testing.assert_array_equal(np.asarray(res.num_points), npts)
+        np.testing.assert_allclose(np.asarray(res.voxels), v,
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(res.point_voxel), pv)
+
+    def test_five_channel_cloud(self, rng):
+        # C > 4 packs 8 slots of 16 lanes per row (round-2 ADVICE, low:
+        # the 8-lane record used to hard-assert C <= 4).
+        pts4 = _cloud(rng, 256)
+        pts = np.concatenate(
+            [pts4, rng.integers(0, 64, (256, 1)).astype(np.float32)],
+            axis=-1)
+        mask = np.ones(256, bool)
+        res, (v, c, npts, nv, pv) = self._run(pts, mask)
+        assert int(res.num_voxels) == nv
+        np.testing.assert_array_equal(np.asarray(res.coords), c)
+        np.testing.assert_allclose(np.asarray(res.voxels), v,
+                                   rtol=2e-5, atol=2e-5)
+
 
 class TestFPS:
     def test_matches_oracle(self, rng):

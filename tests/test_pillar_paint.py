@@ -133,3 +133,115 @@ class TestFastEncoderParity:
             return jnp.sum(o ** 2)
         g = jax.grad(loss)(v["params"])
         assert float(jnp.abs(g["kernel"]).sum()) > 0
+
+
+class TestSegmentUnpaint:
+    def _oracle(self, table, cell):
+        b, n = cell.shape
+        out = np.zeros((b, n, 128), np.float32)
+        for bi in range(b):
+            for i in range(n):
+                if cell[bi, i] < table.shape[1]:
+                    out[bi, i] = table[bi, cell[bi, i]]
+        return out
+
+    def test_random_vs_oracle(self, rng):
+        from lisec_tpu.ops.pallas.unpaint import segment_unpaint
+        b, n, r = 2, 512, 1000
+        cell = np.sort(rng.integers(0, r + 300, (b, n)).astype(np.int32), -1)
+        table = rng.normal(size=(b, r, 128)).astype(np.float32)
+        got = np.asarray(segment_unpaint(
+            jnp.asarray(table), jnp.asarray(cell), num_rows=r,
+            slab=256, window=128, interpret=True))
+        want = self._oracle(table, cell)
+        valid = cell < r
+        # Default routing is a bf16 hi+mid split: ~2^-17 relative.
+        np.testing.assert_allclose(got[valid], want[valid],
+                                   rtol=2e-5, atol=2e-5)
+        exact = np.asarray(segment_unpaint(
+            jnp.asarray(table), jnp.asarray(cell), num_rows=r,
+            slab=256, window=128, interpret=True, exact=True))
+        np.testing.assert_array_equal(exact[valid], want[valid])
+
+    def test_unaligned_slab_boundaries(self, rng):
+        # Long equal-cell runs so slab ranges start/end mid-window and
+        # the sequential-overwrite design is exercised.
+        from lisec_tpu.ops.pallas.unpaint import segment_unpaint
+        b, n, r = 1, 512, 700
+        runs = np.repeat(np.arange(0, 700, 37), 30)[:n]
+        cell = np.sort(runs.astype(np.int32))[None]
+        table = rng.normal(size=(b, r, 128)).astype(np.float32)
+        got = np.asarray(segment_unpaint(
+            jnp.asarray(table), jnp.asarray(cell), num_rows=r,
+            slab=128, window=128, interpret=True, exact=True))
+        np.testing.assert_array_equal(got, self._oracle(table, cell))
+
+
+class TestSegmentMaxSorted:
+    def test_value_and_grad_vs_xla(self, rng):
+        from lisec_tpu.ops.scatter import segment_max_sorted
+        b, n, c, nc = 2, 512, 64, 600
+        cell = np.sort(rng.integers(0, nc + 1, (b, n)).astype(np.int32), -1)
+        h = rng.normal(size=(b, n, c)).astype(np.float32)
+
+        def pallas_sum(hh):
+            canvas, count = segment_max_sorted(
+                hh, jnp.asarray(cell), nc, True)
+            canvas = jnp.where(count[..., None] > 0, canvas, 0.0)
+            return jnp.sum(canvas * jnp.arange(c)), canvas
+
+        def xla_sum(hh):
+            neg = jnp.full((nc + 1, c), -3.0e38)
+            idx = jnp.asarray(cell)
+
+            def one(hb, ib):
+                t = neg.at[ib].max(hb, mode="promise_in_bounds")[:nc]
+                return jnp.where(t > -1.0e38, t, 0.0)
+            canvas = jax.vmap(one)(hh, idx)
+            return jnp.sum(canvas * jnp.arange(c)), canvas
+
+        (lp, cp), gp = jax.value_and_grad(pallas_sum, has_aux=True)(
+            jnp.asarray(h))
+        (lx, cx), gx = jax.value_and_grad(xla_sum, has_aux=True)(
+            jnp.asarray(h))
+        np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   atol=1e-4)
+
+
+class TestTrainPallasPath:
+    def test_train_matches_reference(self, rng):
+        from lisec_tpu.models.pillar_encoder import FusedPillarEncoder
+
+        kw = dict(num_filters=64, grid=(64, 64),
+                  pc_range=(0.0, -20.48, -3.0, 10.24, 20.48, 1.0),
+                  voxel_size=(0.16, 0.64), dtype=jnp.float32)
+        fast = FusedPillarEncoder(**kw)
+        slow = FusedPillarEncoder(fast_train=False, **kw)
+        pts = rng.uniform([-1, -25, -4, 0], [12, 25, 2, 1],
+                          (2, 1024, 4)).astype(np.float32)
+        mask = rng.random((2, 1024)) > 0.1
+        v = fast.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                      jnp.asarray(mask))
+
+        def loss(enc, params):
+            out, mut = enc.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                jnp.asarray(pts), jnp.asarray(mask), train=True,
+                mutable=["batch_stats"])
+            return jnp.sum(out * out), (out, mut)
+
+        (lf, (of, mf)), gf = jax.value_and_grad(
+            lambda p: loss(fast, p), has_aux=True)(v["params"])
+        (ls, (os_, ms)), gs = jax.value_and_grad(
+            lambda p: loss(slow, p), has_aux=True)(v["params"])
+        np.testing.assert_allclose(np.asarray(of), np.asarray(os_),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(mf["batch_stats"]["mean"]),
+            np.asarray(ms["batch_stats"]["mean"]), rtol=1e-4, atol=1e-5)
+        for k in gf:
+            np.testing.assert_allclose(
+                np.asarray(gf[k]), np.asarray(gs[k]),
+                rtol=2e-3, atol=2e-3, err_msg=k)
