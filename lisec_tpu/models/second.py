@@ -50,6 +50,7 @@ class SparseConv3D(nn.Module):
     num_offsets: int
     dtype: jnp.dtype = jnp.float32
     pad_to: int = 0      # unify kernel shapes across the conv stack
+    pad_c: int = 0       # unify stream channel width across the stack
 
     @nn.compact
     def __call__(self, feats, out_of, valid, train: bool = False):
@@ -66,7 +67,7 @@ class SparseConv3D(nn.Module):
         y = sparse_conv3d_spread(
             feats.astype(self.dtype), out_of, w.astype(self.dtype),
             v_out=valid.shape[1], interpret=interpret,
-            pad_to=self.pad_to)
+            pad_to=self.pad_to, pad_c=self.pad_c)
         y = y.astype(self.dtype)                        # (B, Vout, Cout)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype)(y)
@@ -108,6 +109,7 @@ class SparseMiddleEncoder(nn.Module):
         # Pallas kernel compile (see sparse_conv3d_spread pad_to).
         pad_v = max([v] + [int(bgt) for bgt in self.level_budgets])
         pad_v = -(-pad_v // 2048) * 2048
+        pad_c = max(self.channels)
 
         for level, ch in enumerate(self.channels):
             # Submanifold convs at this resolution (out set = in set).
@@ -116,7 +118,7 @@ class SparseMiddleEncoder(nn.Module):
                 cur_coords, cur_num, cur_coords, cur_num, spec)
             for _ in range(self.subm_per_level):
                 x = SparseConv3D(ch, spec.num_offsets, self.dtype,
-                                 pad_to=pad_v)(
+                                 pad_to=pad_v, pad_c=pad_c)(
                     x, srb, cur_valid, train)
 
             if level < len(self.channels) - 1:
@@ -132,7 +134,8 @@ class SparseMiddleEncoder(nn.Module):
                              < out_num[:, None])
                 x = SparseConv3D(
                     self.channels[level + 1], dspec.num_offsets,
-                    self.dtype, pad_to=pad_v)(x, dsrb, out_valid, train)
+                    self.dtype, pad_to=pad_v, pad_c=pad_c)(
+                    x, dsrb, out_valid, train)
                 cur_coords, cur_num, cur_valid = (
                     out_coords, out_num, out_valid)
                 grid = dspec.grid_out

@@ -14,20 +14,29 @@ This kernel does the whole encoder in one pass:
   1. XLA co-sorts (cell, x, y, z, r) — the only data-dependent
      movement, at lax.sort speed — and stacks (B, 8, N) channels
      [x, y, z, r, 1, 0, 0, 0].
-  2. Per window (DMA'd HBM->VMEM, double-buffered) the kernel computes
-     the per-point PFN linear term u = [x,y,z,r] @ weff in-register
-     (weff folds the absolute-decoration columns: feats_abs =
-     [x,y,z,r,x,y,z,x,y] so weff = [w0+w4+w7, w1+w5+w8, w2+w6, w3]),
-     then runs a segmented MAX-scan over u's C sublanes and a
-     segmented SUM-scan over the 8 stat sublanes — C+8 sublanes of
-     scan work instead of 256.
-  3. One hi/lo-split bf16 MXU matmul pair routes each cell's segment
-     end (max u | sum x,y,z,count) to its slab row (exact: the one-hot
-     matmul is a selection).
-  4. The per-cell epilogue runs in-kernel on the f32 accumulators:
-     canvas = relu(max(u) - mean @ w[4:7] - center @ w[7:9] + t),
-     0 where empty — and the canvas is written ONCE, in the compute
-     dtype (bf16 for the backbone), never a 128-lane f32 table.
+  2. Each slab program consumes ITS OWN point range in unaligned
+     windows starting at the range start (DMA'd HBM->VMEM,
+     double-buffered) — no window-grid alignment, so a slab with k
+     points pays ceil(k/window) windows, not up to 2 extra boundary
+     windows.
+  3. Per window the kernel computes the per-point PFN linear term
+     u = [x,y,z,r] @ weff in-register (weff folds the
+     absolute-decoration columns: feats_abs = [x,y,z,r,x,y,z,x,y] so
+     weff = [w0+w4+w7, w1+w5+w8, w2+w6, w3]), then runs a segmented
+     MAX-scan over u's C sublanes and a segmented SUM-scan over the 8
+     stat sublanes — C+8 sublanes of scan work instead of 256.
+  4. One hi/lo-split bf16 MXU matmul pair routes each cell's segment
+     end (max u | sum x,y,z,count) to its slab row of a SINGLE
+     (slab, C+8) f32 accumulator (exact: the one-hot matmul is a
+     selection; lanes < C max-merge, the rest add).
+  5. The per-cell epilogue runs in-kernel on the accumulator:
+     canvas = relu(max(u) - mean @ w[4:7] - center_bias + t), 0 where
+     empty. The center bias (a pure function of the cell index) is
+     precomputed by XLA and streamed in per slab — integer div/mod by
+     a non-power-of-2 grid width inside the kernel measured ~6 ms
+     across the 840 grid programs. The canvas is written ONCE, in the
+     compute dtype (bf16 for the backbone), never a 128-lane f32
+     table.
 
 BatchNorm is folded into (w, t) by the caller (inference only; the
 training path lives in models/pillar_encoder.py).
@@ -48,9 +57,8 @@ LANES = 128
 
 
 def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
-                    out_ref, pts_s, cell_s, acc_u, acc_s, sems,
-                    *, slab: int, window: int, c: int, nx: int,
-                    vx: float, vy: float, x0: float, y0: float):
+                    cbias_ref, out_ref, pts_s, cell_s, acc, sems,
+                    *, slab: int, window: int, c: int):
     b = pl.program_id(0)
     s = pl.program_id(1)
     lo = offs_ref[b, s]
@@ -60,14 +68,15 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     rows_w = jax.lax.broadcasted_iota(jnp.int32, (slab, w), 0)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (slab, c + 8), 1)
+    is_max_lane = out_lane < c
 
-    acc_u[:] = jnp.full((slab, c), _NEG, jnp.float32)
-    acc_s[:] = jnp.zeros((slab, 8), jnp.float32)
+    acc[:] = jnp.where(is_max_lane, _NEG, 0.0)
 
-    nwin = jnp.where(hi > lo, (hi - 1) // w - lo // w + 1, 0)
+    nwin = jnp.where(hi > lo, (hi - lo - 1) // w + 1, 0)
 
     def copies(wi, slot):
-        start = (lo // w + wi) * w
+        start = lo + wi * w
         return (
             pltpu.make_async_copy(
                 pts_hbm.at[b, :, pl.ds(start, w)],
@@ -144,35 +153,30 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
             + jax.lax.dot_general(r_end, c_lo, dimension_numbers=dn,
                                   preferred_element_type=jnp.float32)
         )                                                  # (slab, C+8)
-        r_u = routed[:, :c]
-        r_s = routed[:, c:c + 8]
         # Rows with no segment end this window routed all-zeros; the
         # count column tells them apart (maxes gate, sums just add).
-        has = r_s[:, 4:5] > 0.0
-        acc_u[:] = jnp.where(has, jnp.maximum(acc_u[:], r_u), acc_u[:])
-        acc_s[:] = acc_s[:] + r_s
+        has = routed[:, c + 4:c + 5] > 0.0
+        a = acc[:]
+        acc[:] = jnp.where(
+            is_max_lane,
+            jnp.where(has, jnp.maximum(a, routed), a),
+            a + routed)
         return 0
 
     jax.lax.fori_loop(0, nwin, body, 0)
 
     # In-kernel epilogue: canvas = relu(umax - mean @ w[4:7]
-    # - center @ w[7:9] + t), zero where the cell is empty.
-    sums = acc_s[:]
-    cnt = sums[:, 4:5]
+    # - center_bias + t), zero where the cell is empty.
+    a = acc[:]
+    cnt = a[:, c + 4:c + 5]
     safe = jnp.maximum(cnt, 1.0)
-    cell_idx = base + jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-    ix = jax.lax.rem(cell_idx, nx)
-    iy = cell_idx // nx
-    px = (ix.astype(jnp.float32) + 0.5) * vx + x0
-    py = (iy.astype(jnp.float32) + 0.5) * vy + y0
     b_cell = (
-        (sums[:, 0:1] / safe) * wrows_ref[0:1]
-        + (sums[:, 1:2] / safe) * wrows_ref[1:2]
-        + (sums[:, 2:3] / safe) * wrows_ref[2:3]
-        + px * wrows_ref[3:4]
-        + py * wrows_ref[4:5]
+        (a[:, c:c + 1] / safe) * wrows_ref[0:1]
+        + (a[:, c + 1:c + 2] / safe) * wrows_ref[1:2]
+        + (a[:, c + 2:c + 3] / safe) * wrows_ref[2:3]
+        + cbias_ref[0]
     )                                                      # (slab, C)
-    canvas = jnp.maximum(acc_u[:] - b_cell + wrows_ref[5:6], 0.0)
+    canvas = jnp.maximum(a[:, :c] - b_cell + wrows_ref[3:4], 0.0)
     canvas = jnp.where(cnt > 0.0, canvas, 0.0)
     out_ref[0] = canvas.astype(out_ref.dtype)
 
@@ -190,7 +194,7 @@ def pillar_canvas_fused(
     voxel_size: Tuple[float, float],
     pc_range: Tuple[float, ...],
     slab: int = 2048,
-    window: int = 512,
+    window: int = 256,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
@@ -214,24 +218,23 @@ def pillar_canvas_fused(
 
     num_slabs = -(-ncells // slab)
     padded_cells = num_slabs * slab
-    if n % window:
-        pad = window - n % window
-        z8 = jnp.zeros((b, pad), jnp.float32)
-        xs, ys, zs, rs = (jnp.concatenate([a, z8], axis=1)
-                          for a in (xs, ys, zs, rs))
-        cell_s = jnp.concatenate(
-            [cell_s, jnp.full((b, pad), padded_cells, cell_s.dtype)],
-            axis=1)
-        n += pad
+    # Pad the stream to a window multiple PLUS one window of slack so
+    # unaligned final windows can overrun harmlessly.
+    pad = (window - n % window) % window + window
+    z8 = jnp.zeros((b, pad), jnp.float32)
+    xs, ys, zs, rs = (jnp.concatenate([a, z8], axis=1)
+                      for a in (xs, ys, zs, rs))
+    cell_pad = jnp.concatenate(
+        [cell_s, jnp.full((b, pad), padded_cells, cell_s.dtype)], axis=1)
 
-    ones = jnp.ones((b, n), jnp.float32)
-    zero = jnp.zeros((b, n), jnp.float32)
+    ones = jnp.ones((b, n + pad), jnp.float32)
+    zero = jnp.zeros((b, n + pad), jnp.float32)
     pts8 = jnp.stack([xs, ys, zs, rs, ones, zero, zero, zero], axis=1)
 
     bounds = jnp.arange(num_slabs + 1, dtype=jnp.int32) * slab
     offsets = jax.vmap(
-        lambda cc: jnp.searchsorted(cc, bounds, side="left"))(cell_s)
-    offsets = offsets.astype(jnp.int32)
+        lambda cc: jnp.searchsorted(cc[:n], bounds, side="left"))(
+            cell_pad).astype(jnp.int32)
 
     # weff folds the absolute-decoration columns of the 9-ch PFN:
     # feats_abs = [x,y,z,r,x,y,z,x,y] => u = [x,y,z,r] @ weff.
@@ -240,34 +243,41 @@ def pillar_canvas_fused(
     weffT = jnp.concatenate(
         [weff.T, jnp.zeros((c, 4), jnp.float32)], axis=1)   # (C, 8)
     wrows = jnp.concatenate(
-        [w[4:9], t[None], jnp.zeros((2, c), jnp.float32)], axis=0)
+        [w[4:7], t[None]], axis=0)                          # (4, C)
+
+    # Per-cell center bias center @ w[7:9], precomputed by XLA (tiny
+    # matmul) and streamed per slab — integer div/mod by the grid
+    # width inside the kernel is ~VPU-pathological.
+    idx = jnp.arange(padded_cells, dtype=jnp.int32)
+    px = ((idx % nx).astype(jnp.float32) + 0.5) * voxel_size[0] + r[0]
+    py = ((idx // nx).astype(jnp.float32) + 0.5) * voxel_size[1] + r[1]
+    cbias = (jnp.stack([px, py], axis=-1) @ w[7:9]).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, num_slabs),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # pts (B,8,N)
-            pl.BlockSpec(memory_space=pl.ANY),             # cell (B,1,N)
+            pl.BlockSpec(memory_space=pl.ANY),             # pts (B,8,N')
+            pl.BlockSpec(memory_space=pl.ANY),             # cell (B,1,N')
             pl.BlockSpec((c, 8), lambda b_, s_, offs: (0, 0)),
-            pl.BlockSpec((8, c), lambda b_, s_, offs: (0, 0)),
+            pl.BlockSpec((4, c), lambda b_, s_, offs: (0, 0)),
+            pl.BlockSpec((1, slab, c), lambda b_, s_, offs: (s_, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, slab, c), lambda b_, s_, offs: (b_, s_, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 8, window), jnp.float32),       # double buffer
             pltpu.VMEM((2, 1, window), jnp.int32),
-            pltpu.VMEM((slab, c), jnp.float32),            # acc max(u)
-            pltpu.VMEM((slab, 8), jnp.float32),            # acc sums
+            pltpu.VMEM((slab, c + 8), jnp.float32),        # max|sum acc
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        partial(_encoder_kernel, slab=slab, window=window, c=c, nx=nx,
-                vx=float(voxel_size[0]), vy=float(voxel_size[1]),
-                x0=float(r[0]), y0=float(r[1])),
+        partial(_encoder_kernel, slab=slab, window=window, c=c),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, padded_cells, c), out_dtype),
         interpret=interpret,
-    )(offsets, pts8, cell_s[:, None, :], weffT, wrows)
+    )(offsets, pts8, cell_pad[:, None, :], weffT, wrows,
+      cbias.reshape(num_slabs, slab, c))
     return out[:, :ncells]

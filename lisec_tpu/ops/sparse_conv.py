@@ -249,43 +249,54 @@ def build_scatter_rulebook(
 
 
 def _monotone_spread(vals: jax.Array, targets: jax.Array, valid: jax.Array,
-                     num_out: int, interpret: bool) -> jax.Array:
-    """Route rows of `vals` (B', N, C<=127) to `targets` (B', N) —
-    monotone over valid entries, unique — summing into a dense
-    (B', num_out, C) table via the slab-paint kernel. Invalid rows are
-    zeroed and their targets monotonized (a zero sum lands harmlessly
-    anywhere)."""
-    from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+                     num_out: int, interpret: bool,
+                     pad_c: int = 0) -> jax.Array:
+    """Route rows of `vals` (B', N, C) to `targets` (B', N) — monotone
+    over valid entries, unique — summing into a dense (B', num_out, C)
+    table via the K-reduction spread kernel (ops/pallas/spread_kernel).
+    Invalid rows are zeroed and their targets monotonized with a
+    running max (a zero sum lands harmlessly anywhere). `pad_c` pads
+    the channel axis so call sites can share one kernel shape."""
+    from lisec_tpu.ops.pallas.spread_kernel import spread_accumulate
 
     bb, n, c = vals.shape
+    cp = max(pad_c, -(-c // 8) * 8)
     vm = jnp.where(valid[..., None], vals.astype(jnp.float32), 0.0)
-    # Count always lives at lane 127 so every channel width shares one
-    # kernel shape (each distinct Mosaic compile is ~1.5 min here).
-    packed = jnp.concatenate(
-        [vm, jnp.zeros((bb, n, 127 - c), jnp.float32),
-         valid.astype(jnp.float32)[..., None]], axis=-1)
-    tgt = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(valid, targets, -1), axis=1)
+    vm = _pad_axis(vm, 2, cp, 0.0)
+    tgt = jax.lax.cummax(jnp.where(valid, targets, -1), axis=1)
     tgt = jnp.maximum(tgt, 0).astype(jnp.int32)
-    window = 512    # segment_paint pads N to a window multiple
-    table = segment_paint(
-        packed, tgt, num_cells=num_out, num_max=0, count_channel=127,
-        slab=2048, window=window, interpret=interpret)
+    table = spread_accumulate(
+        vm.transpose(0, 2, 1)[:, None], tgt[:, None],
+        num_out=num_out, interpret=interpret)
     return table[..., :c]                               # (B', num_out, C)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _spread_conv(features, weights, out_of, v_out, interpret):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _spread_conv(features, weights, out_of, v_out, interpret, pad_c):
+    """Forward: K batched MXU GEMMs, then ONE K-reduction spread — all
+    27 offset streams accumulate into the shared output table inside
+    the kernel (K innermost grid dim, output block VMEM-resident), with
+    native-Cout-lane streams in the feature dtype. The round-2 form
+    (per-offset 128-lane f32 paint tables + XLA sum over K) moved ~6 GB
+    of HBM per conv; this moves ~2% of that."""
+    from lisec_tpu.ops.pallas.spread_kernel import spread_accumulate
+
     b, v_in, cin = features.shape
     k, _, cout = weights.shape
-    z = jnp.einsum("bvc,kcd->bkvd", features, weights,
-                   preferred_element_type=jnp.float32)  # (B,K,V,Cout)
+    z = jnp.einsum("bvc,kcd->bkdv", features, weights,
+                   preferred_element_type=jnp.float32)  # (B,K,Cout,V)
+    # bf16 features stream bf16 (half traffic, exact single-matmul
+    # routing); f32 features stream f32 (hi+mid split routing).
+    z = z.astype(features.dtype
+                 if features.dtype == jnp.bfloat16 else jnp.float32)
     valid = out_of >= 0
-    y = _monotone_spread(
-        z.reshape(b * k, v_in, cout),
-        out_of.reshape(b * k, v_in), valid.reshape(b * k, v_in),
-        v_out, interpret)
-    return jnp.sum(y.reshape(b, k, v_out, cout), axis=1)
+    cp = max(pad_c, -(-cout // 8) * 8)
+    z = jnp.where(valid[:, :, None, :], z, 0)
+    z = _pad_axis(z, 2, cp, 0.0)
+    tgt = jax.lax.cummax(jnp.where(valid, out_of, -1), axis=2)
+    tgt = jnp.maximum(tgt, 0).astype(jnp.int32)
+    y = spread_accumulate(z, tgt, num_out=v_out, interpret=interpret)
+    return y[..., :cout]
 
 
 def _pad_axis(x, axis, size, fill):
@@ -296,12 +307,13 @@ def _pad_axis(x, axis, size, fill):
     return jnp.pad(x, widths, constant_values=fill)
 
 
-def _spread_conv_fwd(features, weights, out_of, v_out, interpret):
-    return (_spread_conv(features, weights, out_of, v_out, interpret),
+def _spread_conv_fwd(features, weights, out_of, v_out, interpret, pad_c):
+    return (_spread_conv(features, weights, out_of, v_out, interpret,
+                          pad_c),
             (features, weights, out_of))
 
 
-def _spread_conv_bwd(v_out, interpret, res, g):
+def _spread_conv_bwd(v_out, interpret, pad_c, res, g):
     """Backward = conv-transpose, also spread-form: the inverse per-
     offset map in_of(out) is monotone/unique too, so dz̃_k = g routed
     through it (one spread), then dX and dW are plain MXU einsums. The
@@ -327,7 +339,7 @@ def _spread_conv_bwd(v_out, interpret, res, g):
     g_rep = jnp.broadcast_to(g32[:, None], (b, k, v_out, cout))
     dz = _monotone_spread(
         g_rep.reshape(b * k, v_out, cout), in_of, in_of >= 0,
-        v_in, interpret).reshape(b, k, v_in, cout)
+        v_in, interpret, pad_c=pad_c).reshape(b, k, v_in, cout)
 
     f32 = features.astype(jnp.float32)
     dw = jnp.einsum("bvc,bkvd->kcd", f32, dz,
@@ -343,7 +355,8 @@ def _spread_conv_bwd(v_out, interpret, res, g):
 _spread_conv.defvjp(_spread_conv_fwd, _spread_conv_bwd)
 
 
-@partial(jax.jit, static_argnames=("v_out", "interpret", "pad_to"))
+@partial(jax.jit, static_argnames=("v_out", "interpret", "pad_to",
+                                   "pad_c"))
 def sparse_conv3d_spread(
     features: jax.Array,       # (B, V_in, Cin)
     out_of: jax.Array,         # (B, K, V_in) scatter rulebook
@@ -352,6 +365,7 @@ def sparse_conv3d_spread(
     v_out: int,
     interpret: bool = False,
     pad_to: int = 0,
+    pad_c: int = 0,
 ) -> jax.Array:
     """Scatter-form sparse conv: per-offset GEMM then monotone spread.
 
@@ -376,9 +390,11 @@ def sparse_conv3d_spread(
         assert pad_to >= max(v_out, features.shape[1])
         features = _pad_axis(features, 1, pad_to, 0.0)
         out_of = _pad_axis(out_of, 2, pad_to, -1)
-        y = _spread_conv(features, weights, out_of, pad_to, interpret)
+        y = _spread_conv(features, weights, out_of, pad_to, interpret,
+                         pad_c)
         return y[:, :v_out]
-    return _spread_conv(features, weights, out_of, v_out, interpret)
+    return _spread_conv(features, weights, out_of, v_out, interpret,
+                        pad_c)
 
 
 @jax.jit

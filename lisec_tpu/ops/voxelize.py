@@ -176,14 +176,15 @@ def voxelize_batch(
     packed = (sub[..., :, None] * rec[..., None, :]).reshape(b, n, 128)
     # segment_paint's slab offsets assume the row stream is ASCENDING,
     # so dropped points must NOT get an out-of-band sentinel row (that
-    # would truncate every later slab's range). Instead: zero their
-    # packed record and monotonize their row target with a running max
-    # (a zero sum lands harmlessly on whatever row precedes them) —
-    # the same trick as sparse_conv._monotone_spread.
+    # would truncate every later slab's range). Zero their packed
+    # record and give them the CLAMPED slot's row — identical to
+    # slot // spr for kept points, and ascending for dropped ones
+    # (rank is monotone; within clamps to its own voxel's last slot) —
+    # a zero sum lands harmlessly on a real row, no scan needed.
     packed = jnp.where(keep[..., None], packed, 0.0)
-    row = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(keep, slot // spr, -1), axis=1)
-    row = jnp.maximum(row, 0)
+    slot_c = (jnp.clip(voxel_rank, 0, max_voxels - 1) * kk
+              + jnp.minimum(within, kk - 1))
+    row = slot_c // spr
 
     window = 512    # segment_paint pads N to a window multiple
     interpret = jax.devices()[0].platform != "tpu"

@@ -15,7 +15,7 @@ import pytest
 
 import lisec_tpu
 from lisec_tpu.config import load_config
-from lisec_tpu.ops.pallas import pillar_paint, unpaint
+from lisec_tpu.ops.pallas import pillar_paint, spread_kernel, unpaint
 
 
 @pytest.fixture()
@@ -23,20 +23,26 @@ def record_kernels(monkeypatch):
     paints, unpaints = [], []
     orig_paint = pillar_paint.segment_paint
     orig_unpaint = unpaint.segment_unpaint
+    orig_spread = spread_kernel.spread_accumulate
 
     def _key(shape, kw):
         return (shape, tuple(sorted(
             (k, v) for k, v in kw.items() if k != "interpret")))
 
     def rec_paint(vals, cell, **kw):
-        paints.append(_key(vals.shape, kw))
+        paints.append(("paint",) + _key(vals.shape, kw))
         return orig_paint(vals, cell, **kw)
+
+    def rec_spread(vals, tgt, **kw):
+        paints.append(("spread",) + _key(vals.shape, kw))
+        return orig_spread(vals, tgt, **kw)
 
     def rec_unpaint(table, cell, **kw):
         unpaints.append(_key(table.shape, kw))
         return orig_unpaint(table, cell, **kw)
 
     monkeypatch.setattr(pillar_paint, "segment_paint", rec_paint)
+    monkeypatch.setattr(spread_kernel, "spread_accumulate", rec_spread)
     monkeypatch.setattr(unpaint, "segment_unpaint", rec_unpaint)
     return paints, unpaints
 
@@ -66,10 +72,11 @@ def _trace_train(cfg_path, record_kernels):
 def test_second_shares_one_spread_shape(record_kernels):
     paint_keys, unpaint_keys, *_ = _trace_train(
         "configs/second_tiny.yaml", record_kernels)
-    # Expected: ONE voxelizer paint shape + ONE spread shape shared by
-    # all 11 convs in fwd AND bwd (pad_to). Growth here means a new
-    # per-conv compile was introduced.
-    assert len(paint_keys) <= 2, sorted(paint_keys)
+    # Expected: ONE voxelizer paint shape; ONE K-merged fwd spread
+    # shape shared by all 11 convs (pad_to + pad_c); and two bwd
+    # spread shapes (dz at B*K batch, in_of at 8 channels). Growth here
+    # means a new per-conv compile was introduced.
+    assert len(paint_keys) <= 4, sorted(paint_keys)
     assert len(unpaint_keys) == 0, sorted(unpaint_keys)
 
 
