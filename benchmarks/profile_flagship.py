@@ -120,14 +120,27 @@ def main():
 
     # --- stage 5: NMS ---------------------------------------------------
     from lisec_tpu.ops.nms import rotated_nms
-    nb = jax.random.uniform(rng, (B, 1024, 7), jnp.float32) * 10.0
+    # Candidate geometry matched to what decode hands the pipeline's
+    # NMS: boxes spread over the full pc_range (not crammed into 10 m —
+    # that measures a density no trained detector produces), car-sized,
+    # all 1024 above threshold (worst-case round count).
+    r = cfg.voxel.point_cloud_range
+    ctr = jax.random.uniform(
+        rng, (B, 1024, 2), jnp.float32,
+        minval=jnp.asarray([r[0], r[1]]), maxval=jnp.asarray([r[3], r[4]]))
+    dims = jax.random.uniform(rng, (B, 1024, 3), jnp.float32,
+                              minval=1.5, maxval=4.5)
+    ang = jax.random.uniform(rng, (B, 1024, 1), jnp.float32) * 6.28
+    nb = jnp.concatenate(
+        [ctr, jnp.zeros((B, 1024, 1)), dims, ang], axis=-1)
     ns = jax.random.uniform(rng, (B, 1024), jnp.float32)
     nl = jnp.zeros((B, 1024), jnp.int32)
 
     def nms_fn(b, s, l):
         out = jax.vmap(lambda bb_, ss, ll: rotated_nms(
             bb_, ss, ll, iou_threshold=0.5, score_threshold=0.1,
-            nms_pre=1024, nms_post=128))(b, s, l)
+            nms_pre=1024, nms_post=128,
+            k_near=cfg.budget.nms_near))(b, s, l)
         return jnp.sum(out.scores)
     record("nms", chain_timer(nms_fn, (nb, ns, nl), it, floor))
 

@@ -48,6 +48,8 @@ class BudgetConfig:
     max_boxes: int = 64              # gt boxes per frame
     nms_pre: int = 1024              # top-k kept before NMS
     nms_post: int = 128              # boxes returned
+    nms_near: int = 64               # exact-IoU candidates per emission
+                                     # (0 = full rows; see ops/nms.py)
     max_rulebook_pairs: int = 65536  # per kernel-offset pair budget (O7/O8)
 
 

@@ -13,22 +13,31 @@ This kernel does the whole encoder in one pass:
 
   1. XLA co-sorts (cell, x, y, z, r) — the only data-dependent
      movement, at lax.sort speed — and stacks (B, 8, N) channels
-     [x, y, z, r, 1, 0, 0, 0].
-  2. Each slab program consumes ITS OWN point range in unaligned
-     windows starting at the range start (DMA'd HBM->VMEM,
-     double-buffered) — no window-grid alignment, so a slab with k
-     points pays ceil(k/window) windows, not up to 2 extra boundary
-     windows.
+     [x, y, z, r, 1, 0, 0, 0]. Measured: this glue is ~0.9 ms of the
+     ~10 ms round-3a encoder; everything else is in-kernel.
+  2. Each slab program consumes ITS OWN point range in windows whose
+     start is the range start rounded DOWN to a 128-lane boundary
+     (Mosaic requires provably tile-aligned DMA lane offsets); the
+     <=127 leading points belong to earlier slabs and are masked.
   3. Per window the kernel computes the per-point PFN linear term
-     u = [x,y,z,r] @ weff in-register (weff folds the
-     absolute-decoration columns: feats_abs = [x,y,z,r,x,y,z,x,y] so
-     weff = [w0+w4+w7, w1+w5+w8, w2+w6, w3]), then runs a segmented
-     MAX-scan over u's C sublanes and a segmented SUM-scan over the 8
-     stat sublanes — C+8 sublanes of scan work instead of 256.
-  4. One hi/lo-split bf16 MXU matmul pair routes each cell's segment
-     end (max u | sum x,y,z,count) to its slab row of a SINGLE
-     (slab, C+8) f32 accumulator (exact: the one-hot matmul is a
-     selection; lanes < C max-merge, the rest add).
+     u = [x,y,z,r,1] @ [weff; BIG] in-register — weff folds the
+     absolute-decoration columns (feats_abs = [x,y,z,r,x,y,z,x,y] so
+     weff = [w0+w4+w7, w1+w5+w8, w2+w6, w3]) and BIG is a per-channel
+     static bound with BIG_c > |u_c| for every in-range point, so
+     u + BIG > 0 always. Then a segmented MAX-scan over u's C
+     sublanes and a segmented SUM-scan over the 8 stat sublanes.
+  4. One one-hot MXU matmul routes each cell's segment end
+     (max(u+BIG) | sum x,y,z,count) to its slab row of a SINGLE
+     zero-initialized (slab, C+16) f32 accumulator. The positive
+     shift makes the merge UNCONDITIONAL — rows with no segment end
+     route 0.0, which max-merges as a no-op — so there is no
+     per-window `has-end` gating over the slab (measured ~1.4 us of
+     the ~5.5 us/window round-3a budget). Stats stay exact through
+     bf16 routing via an in-lane hi/lo split (lanes C..C+16 of the
+     same matmul, recombined in the epilogue); u rides a single bf16
+     lane when the canvas is bf16 anyway (`split_u=False`), or its
+     own hi/lo pair when an f32 canvas asks for more (`split_u=True`,
+     two matmuls — the round-3a configuration).
   5. The per-cell epilogue runs in-kernel on the accumulator:
      canvas = relu(max(u) - mean @ w[4:7] - center_bias + t), 0 where
      empty. The center bias (a pure function of the cell index) is
@@ -52,31 +61,35 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG = -3.0e38
 LANES = 128
 
 
 def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
                     cbias_ref, out_ref, pts_s, cell_s, acc, sems,
-                    *, slab: int, window: int, c: int):
+                    *, slab: int, window: int, c: int, split_u: bool):
     b = pl.program_id(0)
     s = pl.program_id(1)
-    lo = offs_ref[b, s]
+    # DMA lane offsets must be provably 128-aligned on TPU, so windows
+    # start at lo rounded DOWN to a vreg lane boundary; the <=127
+    # leading points belong to earlier slabs and are masked by
+    # `inrange` below (cell < base).
+    lo = (offs_ref[b, s] // LANES) * LANES
     hi = offs_ref[b, s + 1]
     base = s * slab
     w = window
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     rows_w = jax.lax.broadcasted_iota(jnp.int32, (slab, w), 0)
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (slab, c + 8), 1)
+    nsum = 8 if split_u else 16       # st width (hi/lo pair when 16)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (slab, c + nsum), 1)
     is_max_lane = out_lane < c
 
-    acc[:] = jnp.where(is_max_lane, _NEG, 0.0)
+    acc[:] = jnp.zeros_like(acc)
 
     nwin = jnp.where(hi > lo, (hi - lo - 1) // w + 1, 0)
 
     def copies(wi, slot):
-        start = lo + wi * w
+        start = pl.multiple_of(lo + wi * w, LANES)
         return (
             pltpu.make_async_copy(
                 pts_hbm.at[b, :, pl.ds(start, w)],
@@ -117,66 +130,82 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
             sh *= 2
         dist = lane - seg_start                            # (1, w)
 
-        # Per-point PFN linear term u (C, w): 4 exact f32 broadcast
-        # FMAs (absolute coords do not survive bf16/MXU passes).
+        # Per-point shifted PFN linear term u + BIG (C, w): 5 exact
+        # f32 broadcast FMAs (absolute coords do not survive bf16/MXU
+        # passes); the ones channel carries the positive shift.
         u = weffT_ref[:, 0:1] * blk[0:1]
-        for i in (1, 2, 3):
+        for i in (1, 2, 3, 4):
             u = u + weffT_ref[:, i:i + 1] * blk[i:i + 1]
-        u = jnp.where(inrange, u, _NEG)
+        u = jnp.where(inrange, u, 0.0)                     # 0 == -inf
         st = jnp.where(inrange, blk, 0.0)                  # (8, w)
+        # NOTE: u stays f32 through the scan — Mosaic's lane rotate
+        # only supports 32-bit data ("Rotate with non-32-bit data" on
+        # v5e); the bf16 cast happens at the routing matmul instead.
 
-        # Segmented max-scan (u) + sum-scan (stats): C+8 sublanes.
+        # Segmented max-scan (u) + sum-scan (stats).
         sh = 1
         while sh < w:
             ok = dist >= sh
             ru = pltpu.roll(u, shift=sh, axis=1)
-            ru = jnp.where(lane >= sh, ru, _NEG)
+            ru = jnp.where(lane >= sh, ru, jnp.zeros_like(u))
             u = jnp.where(ok, jnp.maximum(u, ru), u)
             rs = pltpu.roll(st, shift=sh, axis=1)
             rs = jnp.where(lane >= sh, rs, 0.0)
             st = jnp.where(ok, st + rs, st)
             sh *= 2
 
-        # Route segment ends to slab rows: one hi/lo bf16 matmul pair
-        # over the concatenated (C+8, w) scan results — exact, since
-        # the one-hot routing matmul is a selection.
+        # Route segment ends to slab rows with one-hot MXU matmuls —
+        # exact selection for maxes, exact hi/lo-split addition for
+        # sums; empty rows route 0.0 which merges as a no-op.
         nxt = pltpu.roll(local, shift=w - 1, axis=1)       # circular -1
         is_end = (local != nxt) | (lane == w - 1)
         r_end = ((rows_w == local) & is_end).astype(jnp.bfloat16)
-        cat = jnp.concatenate([u, st], axis=0)             # (C+8, w)
-        c_hi = cat.astype(jnp.bfloat16)
-        c_lo = (cat - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        st_hi = st.astype(jnp.bfloat16)
+        st_lo = (st - st_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dn = (((1,), (1,)), ((), ()))
-        routed = (
-            jax.lax.dot_general(r_end, c_hi, dimension_numbers=dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(r_end, c_lo, dimension_numbers=dn,
-                                  preferred_element_type=jnp.float32)
-        )                                                  # (slab, C+8)
-        # Rows with no segment end this window routed all-zeros; the
-        # count column tells them apart (maxes gate, sums just add).
-        has = routed[:, c + 4:c + 5] > 0.0
+        if split_u:
+            u_hi = u.astype(jnp.bfloat16)
+            u_lo = (u - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            cat_hi = jnp.concatenate([u_hi, st_hi], axis=0)
+            cat_lo = jnp.concatenate([u_lo, st_lo], axis=0)
+            routed = (
+                jax.lax.dot_general(r_end, cat_hi, dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(r_end, cat_lo, dimension_numbers=dn,
+                                      preferred_element_type=jnp.float32)
+            )                                              # (slab, C+8)
+        else:
+            cat = jnp.concatenate([u.astype(jnp.bfloat16), st_hi, st_lo],
+                                  axis=0)
+            routed = jax.lax.dot_general(
+                r_end, cat, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)        # (slab, C+16)
         a = acc[:]
-        acc[:] = jnp.where(
-            is_max_lane,
-            jnp.where(has, jnp.maximum(a, routed), a),
-            a + routed)
+        acc[:] = jnp.where(is_max_lane, jnp.maximum(a, routed),
+                           a + routed)
         return 0
 
     jax.lax.fori_loop(0, nwin, body, 0)
 
-    # In-kernel epilogue: canvas = relu(umax - mean @ w[4:7]
+    # In-kernel epilogue: canvas = relu((umax - BIG) - mean @ w[4:7]
     # - center_bias + t), zero where the cell is empty.
     a = acc[:]
-    cnt = a[:, c + 4:c + 5]
+
+    def stat(i):
+        if split_u:
+            return a[:, c + i:c + i + 1]
+        return a[:, c + i:c + i + 1] + a[:, c + 8 + i:c + 8 + i + 1]
+
+    cnt = stat(4)
     safe = jnp.maximum(cnt, 1.0)
     b_cell = (
-        (a[:, c:c + 1] / safe) * wrows_ref[0:1]
-        + (a[:, c + 1:c + 2] / safe) * wrows_ref[1:2]
-        + (a[:, c + 2:c + 3] / safe) * wrows_ref[2:3]
+        (stat(0) / safe) * wrows_ref[0:1]
+        + (stat(1) / safe) * wrows_ref[1:2]
+        + (stat(2) / safe) * wrows_ref[2:3]
         + cbias_ref[0]
     )                                                      # (slab, C)
-    canvas = jnp.maximum(a[:, :c] - b_cell + wrows_ref[3:4], 0.0)
+    umax = a[:, :c] - wrows_ref[4:5]                       # undo +BIG
+    canvas = jnp.maximum(umax - b_cell + wrows_ref[3:4], 0.0)
     canvas = jnp.where(cnt > 0.0, canvas, 0.0)
     out_ref[0] = canvas.astype(out_ref.dtype)
 
@@ -198,7 +227,15 @@ def pillar_canvas_fused(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
-    """One-kernel pillar encoder: returns the (B, ny*nx, C) canvas."""
+    """One-kernel pillar encoder: returns the (B, ny*nx, C) canvas.
+
+    With ``out_dtype=bfloat16`` (production) the per-point term rides a
+    single bf16 routing lane — its rounding (~BIG * 2^-9) sits below
+    the bf16 canvas quantization. Any wider ``out_dtype`` routes u as
+    an exact hi/lo bf16 pair (two matmuls, the round-3a arrangement).
+    """
+    assert window % LANES == 0, "window must be a multiple of 128 lanes"
+    split_u = jnp.dtype(out_dtype).itemsize > 2
     b, n, _ = points.shape
     c = w.shape[1]
     nx, ny = grid
@@ -219,7 +256,8 @@ def pillar_canvas_fused(
     num_slabs = -(-ncells // slab)
     padded_cells = num_slabs * slab
     # Pad the stream to a window multiple PLUS one window of slack so
-    # unaligned final windows can overrun harmlessly.
+    # final windows (start rounded down, up to one window of overrun)
+    # stay in bounds.
     pad = (window - n % window) % window + window
     z8 = jnp.zeros((b, pad), jnp.float32)
     xs, ys, zs, rs = (jnp.concatenate([a, z8], axis=1)
@@ -240,10 +278,18 @@ def pillar_canvas_fused(
     # feats_abs = [x,y,z,r,x,y,z,x,y] => u = [x,y,z,r] @ weff.
     weff = jnp.stack([w[0] + w[4] + w[7], w[1] + w[5] + w[8],
                       w[2] + w[6], w[3]], axis=0)           # (4, C)
+    # Per-channel positive shift: BIG_c > |u_c| for every in-range
+    # point, so u + BIG > 0 and the routed 0.0 of end-less rows acts
+    # as -inf in the accumulator max-merge.
+    coord_max = jnp.asarray(
+        [max(abs(r[0]), abs(r[3])), max(abs(r[1]), abs(r[4])),
+         max(abs(r[2]), abs(r[5])), 1.0], jnp.float32)
+    bigc = jnp.abs(weff).T @ coord_max + 1.0                # (C,)
     weffT = jnp.concatenate(
-        [weff.T, jnp.zeros((c, 4), jnp.float32)], axis=1)   # (C, 8)
+        [weff.T, bigc[:, None], jnp.zeros((c, 3), jnp.float32)],
+        axis=1)                                             # (C, 8)
     wrows = jnp.concatenate(
-        [w[4:7], t[None]], axis=0)                          # (4, C)
+        [w[4:7], t[None], bigc[None]], axis=0)              # (5, C)
 
     # Per-cell center bias center @ w[7:9], precomputed by XLA (tiny
     # matmul) and streamed per slab — integer div/mod by the grid
@@ -260,7 +306,7 @@ def pillar_canvas_fused(
             pl.BlockSpec(memory_space=pl.ANY),             # pts (B,8,N')
             pl.BlockSpec(memory_space=pl.ANY),             # cell (B,1,N')
             pl.BlockSpec((c, 8), lambda b_, s_, offs: (0, 0)),
-            pl.BlockSpec((4, c), lambda b_, s_, offs: (0, 0)),
+            pl.BlockSpec((5, c), lambda b_, s_, offs: (0, 0)),
             pl.BlockSpec((1, slab, c), lambda b_, s_, offs: (s_, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -268,12 +314,14 @@ def pillar_canvas_fused(
         scratch_shapes=[
             pltpu.VMEM((2, 8, window), jnp.float32),       # double buffer
             pltpu.VMEM((2, 1, window), jnp.int32),
-            pltpu.VMEM((slab, c + 8), jnp.float32),        # max|sum acc
+            pltpu.VMEM((slab, c + (8 if split_u else 16)),
+                       jnp.float32),                       # max|sum acc
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        partial(_encoder_kernel, slab=slab, window=window, c=c),
+        partial(_encoder_kernel, slab=slab, window=window, c=c,
+                split_u=bool(split_u)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, padded_cells, c), out_dtype),

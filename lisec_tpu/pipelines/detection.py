@@ -256,6 +256,7 @@ class PointPillarsPipeline(Pipeline):
             score_threshold=self.score_thr,
             nms_pre=self.cfg.budget.nms_pre,
             nms_post=self.cfg.budget.nms_post,
+            k_near=self.cfg.budget.nms_near,
         ))(boxes, scores, labels)
         return {
             "boxes": nms.boxes,

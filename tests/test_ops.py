@@ -311,6 +311,72 @@ class TestNMS:
         np.testing.assert_allclose(np.sort(got_scores)[::-1], want_scores,
                                    rtol=1e-6)
 
+    def test_matches_oracle_dense_multiround(self, rng):
+        # Dense overlapping scene: exercises several block-greedy rounds,
+        # in-block suppression chains, and the nms_post emission cap.
+        n = 256
+        boxes = np.stack([
+            rng.uniform(-8, 8, n), rng.uniform(-8, 8, n), np.zeros(n),
+            rng.uniform(2, 6, n), rng.uniform(1, 4, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        labels = rng.integers(0, 2, n).astype(np.int32)
+        res = ops.rotated_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+            iou_threshold=0.2, score_threshold=0.05, nms_pre=256,
+            nms_post=24)
+        want_keep = ops_np.nms_np(boxes, scores, labels, 0.2, 0.05)[:24]
+        got_valid = np.asarray(res.valid)
+        got_scores = np.asarray(res.scores)[got_valid]
+        want_scores = np.sort(scores[want_keep])[::-1]
+        np.testing.assert_allclose(np.sort(got_scores)[::-1], want_scores,
+                                   rtol=1e-6)
+
+    def test_k_near_compaction_matches_full(self, rng):
+        # Spread scene: few same-class candidates inside any circle
+        # bound, so the compacted path (k_near=16) must be exactly the
+        # full-row result.
+        n = 160
+        boxes = np.stack([
+            rng.uniform(-40, 40, n), rng.uniform(-40, 40, n), np.zeros(n),
+            rng.uniform(2, 5, n), rng.uniform(1, 3, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        labels = rng.integers(0, 3, n).astype(np.int32)
+        kw = dict(iou_threshold=0.3, score_threshold=0.1,
+                  nms_pre=160, nms_post=64)
+        a = ops.rotated_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(labels), k_near=16, **kw)
+        b = ops.rotated_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(labels), k_near=0, **kw)
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
+        np.testing.assert_allclose(np.asarray(a.scores),
+                                   np.asarray(b.scores))
+        want_keep = ops_np.nms_np(boxes, scores, labels, 0.3, 0.1)[:64]
+        got_scores = np.asarray(a.scores)[np.asarray(a.valid)]
+        np.testing.assert_allclose(
+            np.sort(got_scores)[::-1],
+            np.sort(scores[want_keep])[::-1], rtol=1e-6)
+
+    def test_block_size_invariance(self, rng):
+        n = 96
+        boxes = np.stack([
+            rng.uniform(-6, 6, n), rng.uniform(-6, 6, n), np.zeros(n),
+            rng.uniform(2, 5, n), rng.uniform(1, 3, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        labels = np.zeros(n, np.int32)
+        outs = [ops.rotated_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+            iou_threshold=0.3, score_threshold=0.1, nms_pre=96,
+            nms_post=48, block=blk) for blk in (1, 7, 16, 96)]
+        for res in outs[1:]:
+            np.testing.assert_array_equal(
+                np.asarray(res.valid), np.asarray(outs[0].valid))
+            np.testing.assert_allclose(
+                np.asarray(res.scores), np.asarray(outs[0].scores))
+
     def test_suppresses_duplicates(self):
         box = [0, 0, 0, 4, 2, 1.5, 0.2]
         boxes = jnp.asarray([box, box, box], jnp.float32)

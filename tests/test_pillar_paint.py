@@ -108,6 +108,31 @@ class TestFastEncoderParity:
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(slow), atol=2e-3)
 
+    def test_fast_bf16_matches_reference(self, rng):
+        # Production configuration: bf16 canvas -> single-matmul u
+        # routing (split_u=False). Tolerance is set by the bf16 canvas
+        # quantization plus the BIG-shifted bf16 routing lane.
+        from lisec_tpu.models.pillar_encoder import FusedPillarEncoder
+
+        kw = dict(num_filters=64, grid=(64, 64),
+                  pc_range=(0.0, -20.48, -3.0, 10.24, 20.48, 1.0),
+                  voxel_size=(0.16, 0.64))
+        enc = FusedPillarEncoder(dtype=jnp.bfloat16, **kw)
+        pts = rng.uniform([-1, -25, -4, 0], [12, 25, 2, 1],
+                          (2, 2048, 4)).astype(np.float32)
+        mask = rng.random((2, 2048)) > 0.1
+        v = enc.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                     jnp.asarray(mask))
+        fast = enc.apply(v, jnp.asarray(pts), jnp.asarray(mask),
+                         train=False)
+        slow = FusedPillarEncoder(
+            dtype=jnp.float32, fast_inference=False, **kw).apply(
+                v, jnp.asarray(pts), jnp.asarray(mask), train=False)
+        fast = np.asarray(fast, np.float32)
+        slow = np.asarray(slow, np.float32)
+        tol = 0.03 * max(1.0, float(np.abs(slow).max()))
+        assert np.abs(fast - slow).max() < tol
+
     def test_train_step_updates_batch_stats(self, rng):
         from lisec_tpu.models.pillar_encoder import FusedPillarEncoder
 
