@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+LANES = 128
+
 
 def _spread_kernel(offs_ref, vals_hbm, tgt_hbm, out_ref,
                    vals_s, tgt_s, sems, *, slab: int, window: int,
@@ -42,7 +44,13 @@ def _spread_kernel(offs_ref, vals_hbm, tgt_hbm, out_ref,
     b = pl.program_id(0)
     s = pl.program_id(1)
     k = pl.program_id(2)
-    lo = offs_ref[b, k, s]
+    # DMA offsets must be provably 128-lane aligned on TPU (Mosaic
+    # "tile index divisible by the tiling" check): round the range
+    # start DOWN to a lane boundary. The <=127 leading points belong
+    # to earlier slabs and are masked by `inrange` below (tgt < base);
+    # accumulation means nothing else is needed.
+    lo0 = offs_ref[b, k, s]
+    lo = (lo0 // LANES) * LANES
     hi = offs_ref[b, k, s + 1]
     base = s * slab
     w = window
@@ -53,10 +61,10 @@ def _spread_kernel(offs_ref, vals_hbm, tgt_hbm, out_ref,
     def _():
         out_ref[0] = jnp.zeros((slab, c), jnp.float32)
 
-    nwin = jnp.where(hi > lo, (hi - lo - 1) // w + 1, 0)
+    nwin = jnp.where(hi > lo0, (hi - lo - 1) // w + 1, 0)
 
     def copies(wi, slot):
-        start = lo + wi * w
+        start = pl.multiple_of(lo + wi * w, LANES)
         return (
             pltpu.make_async_copy(
                 vals_hbm.at[b, k, :, pl.ds(start, w)],

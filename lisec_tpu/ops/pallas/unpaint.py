@@ -15,13 +15,15 @@ models/pillar_encoder.py).
 
 Design notes:
   * Grid = (batch, slab); each slab program consumes its own point
-    range [offs[b,s], offs[b,s+1]) in UNALIGNED windows starting
-    exactly at the range start, and writes (window, 128) chunks to the
-    output with manual DMA. The final chunk overruns into the next
-    slab's range with zeros; TPU grid steps execute sequentially on
-    the core, so the next slab's first chunk overwrites the overrun
-    with correct values (the stream tail beyond the last real point is
-    invalid-sentinel territory whose rows are masked by callers).
+    range [offs[b,s], offs[b,s+1]) in windows starting at the range
+    start rounded DOWN to a 128-lane boundary (Mosaic DMA alignment),
+    and writes (window, 128) chunks to the output with manual DMA.
+    Chunks overrun into neighbouring ranges with zeros; TPU grid steps
+    execute sequentially on the core, so later slabs overwrite forward
+    overruns with correct values, and the <=127 leading rows each
+    program zeroes at its aligned-down start are restored by an XLA
+    gather patch in the wrapper (idempotent: table[cell[p]] is correct
+    for any row regardless of which program owned it).
   * Precision: the one-hot matmul is a pure selection, so routing a
     bf16 hi+lo split of the f32 table is exact.
 """
@@ -43,13 +45,20 @@ def _unpaint_kernel(offs_ref, cell_hbm, tab_ref, out_hbm,
                     exact: bool):
     b = pl.program_id(0)
     s = pl.program_id(1)
-    lo = offs_ref[b, s]
+    # DMA offsets must be provably 128-lane aligned on TPU (Mosaic
+    # "tile index divisible by the tiling" check), so each range starts
+    # at its offset rounded DOWN to a lane boundary. The <=127 leading
+    # rows belong to earlier slabs; this program writes them as zeros
+    # and the wrapper's XLA boundary patch restores them (see
+    # segment_unpaint).
+    lo0 = offs_ref[b, s]
+    lo = (lo0 // LANES) * LANES
     hi = offs_ref[b, s + 1]
     base = s * slab
     w = window
 
     rows_w = jax.lax.broadcasted_iota(jnp.int32, (slab, w), 0)
-    nwin = jnp.where(hi > lo, (hi - lo - 1) // w + 1, 0)
+    nwin = jnp.where(hi > lo0, (hi - lo - 1) // w + 1, 0)
 
     tab = tab_ref[0]                                       # (slab, 128)
     t_hi = tab.astype(jnp.bfloat16)
@@ -58,14 +67,16 @@ def _unpaint_kernel(offs_ref, cell_hbm, tab_ref, out_hbm,
     t_lo = (r1 - t_mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def in_copy(wi, slot):
+        start = pl.multiple_of(lo + wi * w, LANES)
         return pltpu.make_async_copy(
-            cell_hbm.at[b, :, pl.ds(lo + wi * w, w)],
+            cell_hbm.at[b, :, pl.ds(start, w)],
             cell_s.at[slot], sems.at[slot, 0])
 
     def out_copy(wi, slot):
+        start = pl.multiple_of(lo + wi * w, LANES)
         return pltpu.make_async_copy(
             out_s.at[slot],
-            out_hbm.at[b, pl.ds(lo + wi * w, w), :],
+            out_hbm.at[b, pl.ds(start, w), :],
             sems.at[slot, 1])
 
     @pl.when(nwin > 0)
@@ -185,4 +196,24 @@ def segment_unpaint(
             (b, npad + window, LANES), jnp.float32),
         interpret=interpret,
     )(offsets, cell_sorted[:, None, :], table)
+
+    # XLA boundary patch: the kernel's ranges start at their offset
+    # rounded DOWN to a 128-lane boundary (Mosaic DMA alignment), so
+    # the <=127 rows in [align128(lo_t), lo_t) at every slab start are
+    # last-written as ZEROS by a program that masks their cells out of
+    # its slab. Restore them with a direct gather — table[cell[p]] is
+    # the correct value for ANY row, so the patch is idempotent and
+    # needs no ownership logic. Cost: <=128*num_slabs gathered rows
+    # per batch element.
+    lo_t = offsets[:, :num_slabs]                            # (B, S)
+    lo_a = (lo_t // LANES) * LANES
+    pos = lo_a[:, :, None] + jnp.arange(LANES, dtype=jnp.int32)
+    valid = (pos < lo_t[:, :, None]).reshape(b, -1)
+    posf = pos.reshape(b, -1)                                # (B, S*128)
+    cells = jnp.take_along_axis(
+        cell_sorted, jnp.minimum(posf, npad + window - 1), axis=1)
+    cells = jnp.minimum(cells, padded_rows - 1)
+    rows = jnp.take_along_axis(table, cells[:, :, None], axis=1)
+    tgt = jnp.where(valid, posf, npad + window)              # drop slot
+    out = out.at[jnp.arange(b)[:, None], tgt].set(rows, mode="drop")
     return out[:, :n]
