@@ -66,14 +66,21 @@ LANES = 128
 
 def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
                     cbias_ref, out_ref, pts_s, cell_s, acc, sems,
-                    *, slab: int, window: int, c: int, split_u: bool):
+                    *, slab: int, window: int, c: int, split_u: bool,
+                    ablate: str = ""):
+    # ``ablate`` is a BENCHMARK-ONLY cost-attribution switch
+    # (benchmarks/profile_encoder.py): "scan" skips the u/st segmented
+    # scans, "route" replaces the one-hot routing matmul with a cheap
+    # anti-DCE reduce, "segid" skips the segment-geometry scan, "epi"
+    # skips the BN/mean epilogue. Production always passes "".
     b = pl.program_id(0)
     s = pl.program_id(1)
     # DMA lane offsets must be provably 128-aligned on TPU, so windows
     # start at lo rounded DOWN to a vreg lane boundary; the <=127
     # leading points belong to earlier slabs and are masked by
     # `inrange` below (cell < base).
-    lo = (offs_ref[b, s] // LANES) * LANES
+    lo0 = offs_ref[b, s]
+    lo = (lo0 // LANES) * LANES
     hi = offs_ref[b, s + 1]
     base = s * slab
     w = window
@@ -86,7 +93,10 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
 
     acc[:] = jnp.zeros_like(acc)
 
-    nwin = jnp.where(hi > lo, (hi - lo - 1) // w + 1, 0)
+    # Empty ranges (hi <= lo0) skip entirely — with lo aligned DOWN an
+    # empty slab could otherwise still see one window of foreign points
+    # (all masked, pure waste).
+    nwin = jnp.where(hi > lo0, (hi - lo - 1) // w + 1, 0)
 
     def copies(wi, slot):
         start = pl.multiple_of(lo + wi * w, LANES)
@@ -120,15 +130,18 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
 
         # Segment geometry along the sorted point axis.
         prev = pltpu.roll(local, shift=1, axis=1)
-        is_start = (local != prev) | (lane == 0)
-        seg_start = jnp.where(is_start, lane, -1)
-        sh = 1
-        while sh < w:
-            rolled = pltpu.roll(seg_start, shift=sh, axis=1)
-            rolled = jnp.where(lane >= sh, rolled, -1)
-            seg_start = jnp.maximum(seg_start, rolled)
-            sh *= 2
-        dist = lane - seg_start                            # (1, w)
+        if "segid" in ablate:
+            dist = lane
+        else:
+            is_start = (local != prev) | (lane == 0)
+            seg_start = jnp.where(is_start, lane, -1)
+            sh = 1
+            while sh < w:
+                rolled = pltpu.roll(seg_start, shift=sh, axis=1)
+                rolled = jnp.where(lane >= sh, rolled, -1)
+                seg_start = jnp.maximum(seg_start, rolled)
+                sh *= 2
+            dist = lane - seg_start                        # (1, w)
 
         # Per-point shifted PFN linear term u + BIG (C, w): 5 exact
         # f32 broadcast FMAs (absolute coords do not survive bf16/MXU
@@ -143,20 +156,26 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
         # v5e); the bf16 cast happens at the routing matmul instead.
 
         # Segmented max-scan (u) + sum-scan (stats).
-        sh = 1
-        while sh < w:
-            ok = dist >= sh
-            ru = pltpu.roll(u, shift=sh, axis=1)
-            ru = jnp.where(lane >= sh, ru, jnp.zeros_like(u))
-            u = jnp.where(ok, jnp.maximum(u, ru), u)
-            rs = pltpu.roll(st, shift=sh, axis=1)
-            rs = jnp.where(lane >= sh, rs, 0.0)
-            st = jnp.where(ok, st + rs, st)
-            sh *= 2
+        if "scan" not in ablate:
+            sh = 1
+            while sh < w:
+                ok = dist >= sh
+                ru = pltpu.roll(u, shift=sh, axis=1)
+                ru = jnp.where(lane >= sh, ru, jnp.zeros_like(u))
+                u = jnp.where(ok, jnp.maximum(u, ru), u)
+                rs = pltpu.roll(st, shift=sh, axis=1)
+                rs = jnp.where(lane >= sh, rs, 0.0)
+                st = jnp.where(ok, st + rs, st)
+                sh *= 2
 
         # Route segment ends to slab rows with one-hot MXU matmuls —
         # exact selection for maxes, exact hi/lo-split addition for
         # sums; empty rows route 0.0 which merges as a no-op.
+        if "route" in ablate:
+            # Anti-DCE: keep the scan results live without the one-hot
+            # build/matmul so (full - this) isolates the routing cost.
+            acc[0, 0] = acc[0, 0] + jnp.max(u) + jnp.max(st)
+            return 0
         nxt = pltpu.roll(local, shift=w - 1, axis=1)       # circular -1
         is_end = (local != nxt) | (lane == w - 1)
         r_end = ((rows_w == local) & is_end).astype(jnp.bfloat16)
@@ -190,6 +209,9 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
     # In-kernel epilogue: canvas = relu((umax - BIG) - mean @ w[4:7]
     # - center_bias + t), zero where the cell is empty.
     a = acc[:]
+    if "epi" in ablate:
+        out_ref[0] = a[:, :c].astype(out_ref.dtype)
+        return
 
     def stat(i):
         if split_u:
@@ -212,7 +234,7 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
 
 @partial(jax.jit, static_argnames=(
     "grid", "voxel_size", "pc_range", "slab", "window", "out_dtype",
-    "interpret"))
+    "interpret", "ablate"))
 def pillar_canvas_fused(
     points: jax.Array,         # (B, N, 4) f32: x, y, z, reflectance
     point_mask: jax.Array,     # (B, N) bool/int
@@ -226,6 +248,7 @@ def pillar_canvas_fused(
     window: int = 256,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    ablate: str = "",          # benchmark-only, see _encoder_kernel
 ) -> jax.Array:
     """One-kernel pillar encoder: returns the (B, ny*nx, C) canvas.
 
@@ -321,7 +344,7 @@ def pillar_canvas_fused(
     )
     out = pl.pallas_call(
         partial(_encoder_kernel, slab=slab, window=window, c=c,
-                split_u=bool(split_u)),
+                split_u=bool(split_u), ablate=ablate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, padded_cells, c), out_dtype),
