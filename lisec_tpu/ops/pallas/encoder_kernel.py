@@ -39,13 +39,20 @@ This kernel does the whole encoder in one pass:
      own hi/lo pair when an f32 canvas asks for more (`split_u=True`,
      two matmuls — the round-3a configuration).
   5. The per-cell epilogue runs in-kernel on the accumulator:
-     canvas = relu(max(u) - mean @ w[4:7] - center_bias + t), 0 where
-     empty. The center bias (a pure function of the cell index) is
-     precomputed by XLA and streamed in per slab — integer div/mod by
-     a non-power-of-2 grid width inside the kernel measured ~6 ms
-     across the 840 grid programs. The canvas is written ONCE, in the
-     compute dtype (bf16 for the backbone), never a 128-lane f32
-     table.
+     canvas = relu(max(u) - mean @ w[4:7] - center @ w[7:9] + t), 0
+     where empty. Round-3a computed it with (slab, 1)-shaped divides
+     and broadcast products — each such op touches 256 nearly-empty
+     (8, 128) vregs, and the ablation profiler attributed 4.8 of the
+     11 ms in-kernel cost to this epilogue alone. It is now one
+     reciprocal on a lane-PACKED (slab, nsum) count block plus one
+     tiny f32 MXU matmul (slab, nsum+2) @ (nsum+2, C) whose weight
+     rows fold the hi/lo stat recombination, the mean weights w[4:7],
+     AND the center weights w[7:9]; the per-cell centers stream in as
+     (slab, 2) — 16 KB/program instead of the 512 KB f32 cbias table
+     (integer div/mod by the non-power-of-2 grid width inside the
+     kernel is still avoided; XLA precomputes the centers). The
+     canvas is written ONCE, in the compute dtype (bf16 for the
+     backbone), never a 128-lane f32 table.
 
 BatchNorm is folded into (w, t) by the caller (inference only; the
 training path lives in models/pillar_encoder.py).
@@ -64,8 +71,8 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
-                    cbias_ref, out_ref, pts_s, cell_s, acc, sems,
+def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wepi_ref,
+                    centers_ref, out_ref, pts_s, cell_s, acc, sems,
                     *, slab: int, window: int, c: int, split_u: bool,
                     ablate: str = ""):
     # ``ablate`` is a BENCHMARK-ONLY cost-attribution switch
@@ -98,27 +105,35 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
     # (all masked, pure waste).
     nwin = jnp.where(hi > lo0, (hi - lo - 1) // w + 1, 0)
 
-    def copies(wi, slot):
-        start = pl.multiple_of(lo + wi * w, LANES)
+    def copies(wi, slot, b_=None, lo_=None):
+        b_ = b if b_ is None else b_
+        lo_ = lo if lo_ is None else lo_
+        start = pl.multiple_of(lo_ + wi * w, LANES)
         return (
             pltpu.make_async_copy(
-                pts_hbm.at[b, :, pl.ds(start, w)],
+                pts_hbm.at[b_, :, pl.ds(start, w)],
                 pts_s.at[slot], sems.at[slot, 0]),
             pltpu.make_async_copy(
-                cell_hbm.at[b, :, pl.ds(start, w)],
+                cell_hbm.at[b_, :, pl.ds(start, w)],
                 cell_s.at[slot], sems.at[slot, 1]),
         )
 
-    @pl.when(nwin > 0)
+    # Window 0 lives in the dedicated slot 2: the PREVIOUS grid program
+    # issued its copy before running its epilogue (grid steps execute
+    # in order and scratch persists across them), so the ~2-3 us HBM
+    # latency of each program's first window is already paid. Only the
+    # very first program self-issues. Windows >= 1 double-buffer
+    # through slots 0/1 as before.
+    @pl.when((b == 0) & (s == 0) & (nwin > 0))
     def _():
-        for cp in copies(0, 0):
+        for cp in copies(0, 2):
             cp.start()
 
     def body(wi, _):
-        slot = jax.lax.rem(wi, 2)
+        slot = jnp.where(wi == 0, 2, jax.lax.rem(wi, 2))
         @pl.when(wi + 1 < nwin)
         def _():
-            for cp in copies(wi + 1, 1 - slot):
+            for cp in copies(wi + 1, jax.lax.rem(wi + 1, 2)):
                 cp.start()
         for cp in copies(wi, slot):
             cp.wait()
@@ -174,7 +189,10 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
         if "route" in ablate:
             # Anti-DCE: keep the scan results live without the one-hot
             # build/matmul so (full - this) isolates the routing cost.
-            acc[0, 0] = acc[0, 0] + jnp.max(u) + jnp.max(st)
+            # (Scalar VMEM stores are rejected by Mosaic; broadcast the
+            # reduction into the accumulator — comparable to the merge
+            # the full path does anyway.)
+            acc[:] = acc[:] + (jnp.max(u) + jnp.max(st))
             return 0
         nxt = pltpu.roll(local, shift=w - 1, axis=1)       # circular -1
         is_end = (local != nxt) | (lane == w - 1)
@@ -206,29 +224,46 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wrows_ref,
 
     jax.lax.fori_loop(0, nwin, body, 0)
 
+    # Prefetch the NEXT program's window 0 into slot 2 now, so its DMA
+    # overlaps this program's epilogue and canvas write.
+    nxt_b = jnp.where(s + 1 < pl.num_programs(1), b, b + 1)
+    nxt_s = jnp.where(s + 1 < pl.num_programs(1), s + 1, 0)
+    @pl.when(nxt_b < pl.num_programs(0))
+    def _():
+        lo0n = offs_ref[nxt_b, nxt_s]
+        hin = offs_ref[nxt_b, nxt_s + 1]
+        @pl.when(hin > lo0n)
+        def _():
+            lon = (lo0n // LANES) * LANES
+            for cp in copies(0, 2, b_=nxt_b, lo_=lon):
+                cp.start()
+
     # In-kernel epilogue: canvas = relu((umax - BIG) - mean @ w[4:7]
-    # - center_bias + t), zero where the cell is empty.
+    # - center @ w[7:9] + t), zero where the cell is empty. All work
+    # stays lane-packed: narrow (slab, 1) divides/broadcasts cost 256
+    # mostly-empty vregs each and measured 4.8 ms across the 840
+    # programs (profile_encoder_kernel.py, round 3b).
     a = acc[:]
     if "epi" in ablate:
         out_ref[0] = a[:, :c].astype(out_ref.dtype)
         return
 
-    def stat(i):
-        if split_u:
-            return a[:, c + i:c + i + 1]
-        return a[:, c + i:c + i + 1] + a[:, c + 8 + i:c + 8 + i + 1]
-
-    cnt = stat(4)
-    safe = jnp.maximum(cnt, 1.0)
-    b_cell = (
-        (stat(0) / safe) * wrows_ref[0:1]
-        + (stat(1) / safe) * wrows_ref[1:2]
-        + (stat(2) / safe) * wrows_ref[2:3]
-        + cbias_ref[0]
-    )                                                      # (slab, C)
-    umax = a[:, :c] - wrows_ref[4:5]                       # undo +BIG
-    canvas = jnp.maximum(umax - b_cell + wrows_ref[3:4], 0.0)
-    canvas = jnp.where(cnt > 0.0, canvas, 0.0)
+    nsum = 8 if split_u else 16
+    # ONE f32 matmul produces, in 3c lanes: [sums @ w[4:7] (hi+lo
+    # recombined) | centers @ w[7:9] | count replicated]; everything
+    # after it is flat (slab, c)-shaped VPU work. Empty rows need no
+    # select: BIG also bounds |center @ w[7:9]| + |t| (see caller), so
+    # their pre-relu value 0 - center@w - (t - BIG) is provably < 0.
+    dn = (((1,), (0,)), ((), ()))
+    cat = jnp.concatenate([a[:, c:], centers_ref[0]], axis=1)
+    q = jax.lax.dot_general(cat, wepi_ref[0:nsum + 2, :],
+                            dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+    b_cell = (q[:, :c] / jnp.maximum(q[:, 2 * c:3 * c], 1.0)
+              + q[:, c:2 * c])
+    # wepi row nsum+2 (lanes :c) = t - BIG (undoes the routing shift).
+    canvas = jnp.maximum(
+        a[:, :c] - b_cell + wepi_ref[nsum + 2:nsum + 3, 0:c], 0.0)
     out_ref[0] = canvas.astype(out_ref.dtype)
 
 
@@ -245,7 +280,7 @@ def pillar_canvas_fused(
     voxel_size: Tuple[float, float],
     pc_range: Tuple[float, ...],
     slab: int = 2048,
-    window: int = 256,
+    window: int = 512,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     ablate: str = "",          # benchmark-only, see _encoder_kernel
@@ -303,24 +338,42 @@ def pillar_canvas_fused(
                       w[2] + w[6], w[3]], axis=0)           # (4, C)
     # Per-channel positive shift: BIG_c > |u_c| for every in-range
     # point, so u + BIG > 0 and the routed 0.0 of end-less rows acts
-    # as -inf in the accumulator max-merge.
+    # as -inf in the accumulator max-merge. BIG also bounds the
+    # epilogue's |center @ w[7:9]| + |t| so empty rows come out
+    # pre-relu negative with no select (see kernel epilogue).
     coord_max = jnp.asarray(
         [max(abs(r[0]), abs(r[3])), max(abs(r[1]), abs(r[4])),
          max(abs(r[2]), abs(r[5])), 1.0], jnp.float32)
-    bigc = jnp.abs(weff).T @ coord_max + 1.0                # (C,)
+    bigc = (jnp.abs(weff).T @ coord_max
+            + jnp.abs(w[7]) * coord_max[0] + jnp.abs(w[8]) * coord_max[1]
+            + jnp.abs(t) + 1.0)                             # (C,)
     weffT = jnp.concatenate(
         [weff.T, bigc[:, None], jnp.zeros((c, 3), jnp.float32)],
         axis=1)                                             # (C, 8)
-    wrows = jnp.concatenate(
-        [w[4:7], t[None], bigc[None]], axis=0)              # (5, C)
+    # Epilogue weight block (nsum+3, 3C), one in-kernel matmul applies
+    # it all (see _encoder_kernel epilogue). Lanes 0:C — mean-sum
+    # weights w[4:7] at rows 0-2 (+8-10 for the hi/lo pair); lanes
+    # C:2C — center weights w[7:9] at rows nsum..nsum+1; lanes 2C:3C —
+    # ones at the count rows (4, +12). Row nsum+2 (lanes :C) is the
+    # bias t - BIG.
+    nsum = 8 if split_u else 16
+    wepi = jnp.zeros((nsum + 3, 3 * c), jnp.float32)
+    wepi = wepi.at[0:3, 0:c].set(w[4:7])
+    wepi = wepi.at[4, 2 * c:].set(1.0)
+    if not split_u:
+        wepi = wepi.at[8:11, 0:c].set(w[4:7])
+        wepi = wepi.at[12, 2 * c:].set(1.0)
+    wepi = wepi.at[nsum:nsum + 2, c:2 * c].set(w[7:9])
+    wepi = wepi.at[nsum + 2, 0:c].set(t - bigc)
 
-    # Per-cell center bias center @ w[7:9], precomputed by XLA (tiny
-    # matmul) and streamed per slab — integer div/mod by the grid
-    # width inside the kernel is ~VPU-pathological.
+    # Per-cell centers, precomputed by XLA and streamed per slab as a
+    # (slab, 2) block — integer div/mod by the non-power-of-2 grid
+    # width inside the kernel is ~VPU-pathological, and the round-3a
+    # precomputed (slab, C) f32 bias table cost 512 KB/program of DMA.
     idx = jnp.arange(padded_cells, dtype=jnp.int32)
     px = ((idx % nx).astype(jnp.float32) + 0.5) * voxel_size[0] + r[0]
     py = ((idx // nx).astype(jnp.float32) + 0.5) * voxel_size[1] + r[1]
-    cbias = (jnp.stack([px, py], axis=-1) @ w[7:9]).astype(jnp.float32)
+    centers = jnp.stack([px, py], axis=-1)                  # (cells, 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -329,17 +382,17 @@ def pillar_canvas_fused(
             pl.BlockSpec(memory_space=pl.ANY),             # pts (B,8,N')
             pl.BlockSpec(memory_space=pl.ANY),             # cell (B,1,N')
             pl.BlockSpec((c, 8), lambda b_, s_, offs: (0, 0)),
-            pl.BlockSpec((5, c), lambda b_, s_, offs: (0, 0)),
-            pl.BlockSpec((1, slab, c), lambda b_, s_, offs: (s_, 0, 0)),
+            pl.BlockSpec((nsum + 3, 3 * c), lambda b_, s_, offs: (0, 0)),
+            pl.BlockSpec((1, slab, 2), lambda b_, s_, offs: (s_, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, slab, c), lambda b_, s_, offs: (b_, s_, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, window), jnp.float32),       # double buffer
-            pltpu.VMEM((2, 1, window), jnp.int32),
+            pltpu.VMEM((3, 8, window), jnp.float32),       # 0/1 dbl buf,
+            pltpu.VMEM((3, 1, window), jnp.int32),         # 2 = window 0
             pltpu.VMEM((slab, c + (8 if split_u else 16)),
                        jnp.float32),                       # max|sum acc
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -349,6 +402,6 @@ def pillar_canvas_fused(
         out_shape=jax.ShapeDtypeStruct(
             (b, padded_cells, c), out_dtype),
         interpret=interpret,
-    )(offsets, pts8, cell_pad[:, None, :], weffT, wrows,
-      cbias.reshape(num_slabs, slab, c))
+    )(offsets, pts8, cell_pad[:, None, :], weffT, wepi,
+      centers.reshape(num_slabs, slab, 2))
     return out[:, :ncells]
