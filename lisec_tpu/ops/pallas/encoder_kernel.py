@@ -13,8 +13,9 @@ This kernel does the whole encoder in one pass:
 
   1. XLA co-sorts (cell, x, y, z, r) — the only data-dependent
      movement, at lax.sort speed — and stacks (B, 8, N) channels
-     [x, y, z, r, 1, 0, 0, 0]. Measured: this glue is ~0.9 ms of the
-     ~10 ms round-3a encoder; everything else is in-kernel.
+     [x, y, z, r, 1, 0, 0, bitcast(cell)] so each window is ONE
+     aligned 8-row DMA. Measured: this glue is ~0.9 ms of the ~10 ms
+     round-3a encoder; everything else is in-kernel.
   2. Each slab program consumes ITS OWN point range in windows whose
      start is the range start rounded DOWN to a 128-lane boundary
      (Mosaic requires provably tile-aligned DMA lane offsets); the
@@ -71,8 +72,8 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wepi_ref,
-                    centers_ref, out_ref, pts_s, cell_s, acc, sems,
+def _encoder_kernel(offs_ref, pts_hbm, weffT_ref, wepi_ref,
+                    centers_ref, out_ref, pts_s, acc, sems,
                     *, slab: int, window: int, c: int, split_u: bool,
                     ablate: str = ""):
     # ``ablate`` is a BENCHMARK-ONLY cost-attribution switch
@@ -106,16 +107,15 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wepi_ref,
     nwin = jnp.where(hi > lo0, (hi - lo - 1) // w + 1, 0)
 
     def copies(wi, slot, b_=None, lo_=None):
+        # ONE 9-row copy per window: 8 stat channels + the cell-id row
+        # bitcast to f32 (bit-preserving; the kernel bitcasts it back).
         b_ = b if b_ is None else b_
         lo_ = lo if lo_ is None else lo_
         start = pl.multiple_of(lo_ + wi * w, LANES)
         return (
             pltpu.make_async_copy(
                 pts_hbm.at[b_, :, pl.ds(start, w)],
-                pts_s.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(
-                cell_hbm.at[b_, :, pl.ds(start, w)],
-                cell_s.at[slot], sems.at[slot, 1]),
+                pts_s.at[slot], sems.at[slot]),
         )
 
     # Window 0 lives in the dedicated slot 2: the PREVIOUS grid program
@@ -138,8 +138,8 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wepi_ref,
         for cp in copies(wi, slot):
             cp.wait()
 
-        cell = cell_s[slot]                                # (1, w)
         blk = pts_s[slot]                                  # (8, w)
+        cell = pltpu.bitcast(blk[7:8], jnp.int32)          # (1, w)
         inrange = (cell >= base) & (cell < base + slab)
         local = jnp.where(inrange, cell - base, slab)
 
@@ -158,12 +158,16 @@ def _encoder_kernel(offs_ref, pts_hbm, cell_hbm, weffT_ref, wepi_ref,
                 sh *= 2
             dist = lane - seg_start                        # (1, w)
 
-        # Per-point shifted PFN linear term u + BIG (C, w): 5 exact
-        # f32 broadcast FMAs (absolute coords do not survive bf16/MXU
-        # passes); the ones channel carries the positive shift.
-        u = weffT_ref[:, 0:1] * blk[0:1]
-        for i in (1, 2, 3, 4):
-            u = u + weffT_ref[:, i:i + 1] * blk[i:i + 1]
+        # Per-point shifted PFN linear term u + BIG (C, w) as ONE f32
+        # MXU dot (Mosaic lowers it exactly enough for the folded
+        # absolute coordinates — plain bf16 would not be); the ones
+        # channel carries the positive shift; weight cols 5-7 are zero
+        # (row 7 is the bitcast cell row — inert denormals).
+        # Round-3a built u from 5 (C, 1) x (1, w) broadcast products —
+        # the same narrow-vreg pathology the epilogue had.
+        u = jax.lax.dot_general(
+            weffT_ref[:], blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (C, w)
         u = jnp.where(inrange, u, 0.0)                     # 0 == -inf
         st = jnp.where(inrange, blk, 0.0)                  # (8, w)
         # NOTE: u stays f32 through the scan — Mosaic's lane rotate
@@ -325,7 +329,14 @@ def pillar_canvas_fused(
 
     ones = jnp.ones((b, n + pad), jnp.float32)
     zero = jnp.zeros((b, n + pad), jnp.float32)
-    pts8 = jnp.stack([xs, ys, zs, rs, ones, zero, zero, zero], axis=1)
+    # The cell-id row rides the unused 8th stat channel, bitcast to
+    # f32 so one aligned 8-row DMA moves everything (Mosaic rejects
+    # 9-row sublane slices). Cell ids are < 2^23, so their f32 bit
+    # patterns are denormals: they contribute ~0 to the stat sums and
+    # hit zero epilogue-weight rows — numerically inert.
+    cellf = jax.lax.bitcast_convert_type(cell_pad, jnp.float32)
+    pts8 = jnp.stack(
+        [xs, ys, zs, rs, ones, zero, zero, cellf], axis=1)
 
     bounds = jnp.arange(num_slabs + 1, dtype=jnp.int32) * slab
     offsets = jax.vmap(
@@ -379,8 +390,7 @@ def pillar_canvas_fused(
         num_scalar_prefetch=1,
         grid=(b, num_slabs),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # pts (B,8,N')
-            pl.BlockSpec(memory_space=pl.ANY),             # cell (B,1,N')
+            pl.BlockSpec(memory_space=pl.ANY),             # pts (B,9,N')
             pl.BlockSpec((c, 8), lambda b_, s_, offs: (0, 0)),
             pl.BlockSpec((nsum + 3, 3 * c), lambda b_, s_, offs: (0, 0)),
             pl.BlockSpec((1, slab, 2), lambda b_, s_, offs: (s_, 0, 0)),
@@ -389,10 +399,10 @@ def pillar_canvas_fused(
             (1, slab, c), lambda b_, s_, offs: (b_, s_, 0)),
         scratch_shapes=[
             pltpu.VMEM((3, 8, window), jnp.float32),       # 0/1 dbl buf,
-            pltpu.VMEM((3, 1, window), jnp.int32),         # 2 = window 0
+                                                           # 2 = window 0
             pltpu.VMEM((slab, c + (8 if split_u else 16)),
                        jnp.float32),                       # max|sum acc
-            pltpu.SemaphoreType.DMA((3, 2)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     out = pl.pallas_call(
@@ -402,6 +412,6 @@ def pillar_canvas_fused(
         out_shape=jax.ShapeDtypeStruct(
             (b, padded_cells, c), out_dtype),
         interpret=interpret,
-    )(offsets, pts8, cell_pad[:, None, :], weffT, wepi,
+    )(offsets, pts8, weffT, wepi,
       centers.reshape(num_slabs, slab, 2))
     return out[:, :ncells]
