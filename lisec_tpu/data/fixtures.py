@@ -100,6 +100,13 @@ def make_detection_scene(
             rng.uniform(-l / 2, l / 2, points_per_object),
             rng.uniform(-w / 2, w / 2, points_per_object),
             rng.uniform(-h / 2, h / 2, points_per_object)], -1)
+        # Heading cue: real vehicles are front/back asymmetric (low
+        # hood, high cabin). Cap the height of front-quarter points so
+        # heading is learnable — a uniform box is 180-degree symmetric
+        # and pins the direction classifier's CE at ln 2 forever.
+        front = local[:, 0] > l / 4
+        local[:, 2] = np.where(
+            front, np.minimum(local[:, 2], -0.1 * h), local[:, 2])
         c, s = np.cos(yaw), np.sin(yaw)
         world = np.stack([
             cx + local[:, 0] * c - local[:, 1] * s,

@@ -93,24 +93,35 @@ def build_output_coords(
     (when divisible and in the output grid).
     """
     v = coords_in.shape[0]
-    offs = spec.offsets()                                   # (K, 3)
-    stride = jnp.array(spec.stride, jnp.int32)
-    pad = jnp.array(spec.padding, jnp.int32)
     go = spec.grid_out
     n_out_cells = go[0] * go[1] * go[2]
 
-    valid_in = (jnp.arange(v) < num_in)[:, None, None]      # (V,1,1)
-    num = coords_in[:, None, :] + pad[None, None, :] - offs[None, :, :]
-    div_ok = (num % stride[None, None, :] == 0).all(-1)
-    cand = num // stride[None, None, :]                     # (V, K, 3)
-    inb = (
-        (cand >= 0).all(-1)
-        & (cand[..., 0] < go[0]) & (cand[..., 1] < go[1])
-        & (cand[..., 2] < go[2])
-    )
-    ok = div_ok & inb & valid_in[..., 0]
-    lin = (cand[..., 0] * go[1] + cand[..., 1]) * go[2] + cand[..., 2]
-    lin = jnp.where(ok, lin, n_out_cells).reshape(-1)       # (V*K,)
+    # Per axis, an input voxel reaches output coords o with
+    # 0 <= in + pad - o*stride <= ksz-1, i.e. at most ceil(ksz/stride)
+    # consecutive o's — enumerate THOSE (8 for the canonical 3/2 conv)
+    # instead of all K=27 kernel taps (round-3 profile: this builder
+    # cost 22.6 ms/batch-4 per level, dominated by the V*K candidate
+    # sort).
+    n_ax = [-(-k // s) for k, s in zip(spec.kernel_size, spec.stride)]
+    axes = []
+    for ax in range(3):
+        k, s, p = (spec.kernel_size[ax], spec.stride[ax],
+                   spec.padding[ax])
+        hi = (coords_in[:, ax] + p) // s                    # largest o
+        d = jnp.arange(n_ax[ax], dtype=jnp.int32)
+        o = hi[:, None] - d[None, :]                        # (V, n_ax)
+        ok = ((o >= 0) & (o < go[ax])
+              & (coords_in[:, ax:ax + 1] + p - o * s <= k - 1))
+        axes.append((o, ok))
+    oz, okz = axes[0]
+    oy, oky = axes[1]
+    ox, okx = axes[2]
+    lin = ((oz[:, :, None, None] * go[1] + oy[:, None, :, None]) * go[2]
+           + ox[:, None, None, :])
+    ok = (okz[:, :, None, None] & oky[:, None, :, None]
+          & okx[:, None, None, :]
+          & (jnp.arange(v) < num_in)[:, None, None, None])
+    lin = jnp.where(ok, lin, n_out_cells).reshape(-1)       # (V*8,)
 
     lin_sorted = jnp.sort(lin)
     prev = jnp.concatenate(
@@ -120,14 +131,19 @@ def build_output_coords(
     num_out = jnp.minimum(
         jnp.where(is_first.any(), rank[-1] + 1, 0), max_out)
 
-    slot = jnp.where(is_first & (rank < max_out), rank, max_out)
-    zc = lin_sorted // (go[1] * go[2])
-    yc = (lin_sorted // go[2]) % go[1]
-    xc = lin_sorted % go[2]
-    cands = jnp.stack([zc, yc, xc], axis=-1).astype(jnp.int32)
-    out = jnp.full((max_out + 1, 3), -1, jnp.int32)
-    out = out.at[slot].set(cands, mode="drop")
-    return out[:max_out], num_out
+    # Compact the firsts with a second (cheap) sort instead of a
+    # data-dependent scatter.
+    ckey = jnp.where(is_first & (rank < max_out), lin_sorted,
+                     n_out_cells)
+    compact = jnp.sort(ckey)[:max_out]
+    keep = compact < n_out_cells
+    zc = compact // (go[1] * go[2])
+    yc = (compact // go[2]) % go[1]
+    xc = compact % go[2]
+    out = jnp.where(keep[:, None],
+                    jnp.stack([zc, yc, xc], axis=-1).astype(jnp.int32),
+                    -1)
+    return out, num_out
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -216,35 +232,33 @@ def build_scatter_rulebook(
     lin_q = (cand[..., 0] * go[1] + cand[..., 1]) * go[2] + cand[..., 2]
     lin_q = jnp.where(ok, lin_q, n_out_cells)           # (B, K, V_in)
 
-    # Merge: per (b, k) row, sort [out cells | query cells] by
-    # (cell, tag) carrying (out rank | input index).
-    cells = jnp.concatenate(
-        [jnp.broadcast_to(lin_out[:, None, :], (b, k, v_out)), lin_q],
-        axis=2)                                         # (B, K, V_out+V_in)
-    tag = jnp.concatenate(
-        [jnp.zeros((b, k, v_out), jnp.int32),
-         jnp.ones((b, k, v_in), jnp.int32)], axis=2)
+    # Merge: per (b, k) row, sort [out cells | query cells] on ONE
+    # packed key cell*2 + tag (cells < 2^30, so this fits i32; one
+    # 2-operand single-key sort replaces the 3-operand 2-key one),
+    # carrying (out rank | input index). A query row (odd key) matches
+    # iff its predecessor is the out row of the same cell, i.e.
+    # prev_key == key - 1.
+    key = jnp.concatenate(
+        [jnp.broadcast_to(lin_out[:, None, :] * 2, (b, k, v_out)),
+         lin_q * 2 + 1], axis=2)                    # (B, K, V_out+V_in)
     payload = jnp.concatenate(
         [jnp.broadcast_to(jnp.arange(v_out, dtype=jnp.int32)[None, None],
                           (b, k, v_out)),
          jnp.broadcast_to(jnp.arange(v_in, dtype=jnp.int32)[None, None],
                           (b, k, v_in))], axis=2)
-    c_s, t_s, p_s = jax.lax.sort((cells, tag, payload),
-                                 dimension=2, num_keys=2)
+    k_s, p_s = jax.lax.sort((key, payload), dimension=2, num_keys=1)
 
-    prev_c = jnp.concatenate(
-        [jnp.full((b, k, 1), -1, c_s.dtype), c_s[..., :-1]], axis=2)
-    prev_t = jnp.concatenate(
-        [jnp.ones((b, k, 1), t_s.dtype), t_s[..., :-1]], axis=2)
+    prev_k = jnp.concatenate(
+        [jnp.full((b, k, 1), -9, k_s.dtype), k_s[..., :-1]], axis=2)
     prev_p = jnp.concatenate(
         [jnp.zeros((b, k, 1), p_s.dtype), p_s[..., :-1]], axis=2)
-    matched = ((t_s == 1) & (prev_t == 0) & (prev_c == c_s)
-               & (c_s < n_out_cells))
+    is_q = (k_s & 1) == 1
+    matched = is_q & (prev_k == k_s - 1) & (k_s < 2 * n_out_cells)
     out_rank = jnp.where(matched, prev_p, -1)
 
-    # Back to input order: among tag-1 rows sort by input index.
-    key = jnp.where(t_s == 1, p_s, v_in + v_out)
-    _, out_of = jax.lax.sort((key, out_rank), dimension=2, num_keys=1)
+    # Back to input order: among query rows sort by input index.
+    key2 = jnp.where(is_q, p_s, v_in + v_out)
+    _, out_of = jax.lax.sort((key2, out_rank), dimension=2, num_keys=1)
     return out_of[..., :v_in]                           # (B, K, V_in)
 
 
