@@ -77,12 +77,26 @@ def main():
         (jb["points"], jb["point_mask"], jb["gt_boxes"],
          jb["gt_classes"], jb["gt_mask"]))
 
-    # assigner alone
+    # assigner alone — the SAME variant pipeline.loss uses (windowed
+    # when assign_window is set; the round-3a profiler mistakenly
+    # timed the dense assign_targets here and printed 570 ms while the
+    # in-step windowed one costs ~26).
+    from lisec_tpu.training.assigner import assign_targets_windowed
+
     def assign_fn(gtb, gtc, gtm):
-        out = jax.vmap(lambda b, c, m: assign_targets(
-            pipeline.anchors, pipeline.anchor_classes, pipeline.pos_thr,
-            pipeline.neg_thr, b, c, m,
-            row_chunk=pipeline.assign_row_chunk))(gtb, gtc, gtm)
+        if pipeline.assign_window:
+            out = jax.vmap(lambda b, c, m: assign_targets_windowed(
+                pipeline.anchors, pipeline.anchor_classes,
+                pipeline.pos_thr, pipeline.neg_thr,
+                pipeline.class_sizes, pipeline.class_z, b, c, m,
+                feature_map_size=pipeline.fmap,
+                pc_range=tuple(cfg.voxel.point_cloud_range),
+                window=pipeline.assign_window))(gtb, gtc, gtm)
+        else:
+            out = jax.vmap(lambda b, c, m: assign_targets(
+                pipeline.anchors, pipeline.anchor_classes,
+                pipeline.pos_thr, pipeline.neg_thr, b, c, m,
+                row_chunk=pipeline.assign_row_chunk))(gtb, gtc, gtm)
         return (jnp.sum(out.reg_targets) + jnp.sum(out.cls_targets)
                 + jnp.sum(out.positive))
     rec("assigner", assign_fn,
@@ -98,6 +112,55 @@ def main():
     rec("loss_fwd", fwd_fn,
         (jb["points"], jb["point_mask"], jb["gt_boxes"],
          jb["gt_classes"], jb["gt_mask"]))
+
+    # training-path pillar encoder alone (paint/unpaint/segment-max),
+    # forward and forward+backward
+    from lisec_tpu.models.pillar_encoder import FusedPillarEncoder
+    cfgv = cfg.voxel
+    enc = FusedPillarEncoder(
+        num_filters=64, pc_range=tuple(cfgv.point_cloud_range),
+        voxel_size=tuple(cfgv.voxel_size[:2]),
+        grid=(cfgv.grid_size[0], cfgv.grid_size[1]),
+        dtype=jnp.bfloat16)
+    ev = enc.init(jax.random.PRNGKey(0), jb["points"], jb["point_mask"])
+
+    def enc_fwd(p, m):
+        out, _ = enc.apply(ev, p, m, train=True,
+                           mutable=["batch_stats"])
+        return jnp.sum(out.astype(jnp.float32))
+    rec("enc_train_fwd", enc_fwd, (jb["points"], jb["point_mask"]))
+
+    def enc_fb(p, m):
+        def f(params):
+            out, _ = enc.apply(
+                {"params": params, "batch_stats": ev["batch_stats"]},
+                p, m, train=True, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32))
+        g = jax.grad(f)(ev["params"])
+        return sum(jnp.sum(x) for x in jax.tree.leaves(g))
+    rec("enc_train_fwd_bwd", enc_fb, (jb["points"], jb["point_mask"]))
+
+    # the two Pallas stages of the train encoder, isolated
+    from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+    from lisec_tpu.ops.pallas.unpaint import segment_unpaint
+    ncells = cfgv.grid_size[0] * cfgv.grid_size[1]
+    bsz, n = jb["points"].shape[:2]
+    cells = jnp.sort(
+        jax.random.randint(rng, (bsz, n), 0, ncells, jnp.int32), axis=1)
+    svals = jnp.zeros((bsz, n, 128), jnp.float32).at[..., 127].set(1.0)
+
+    def paint_fn(v, c):
+        return jnp.sum(segment_paint(
+            v, c, num_cells=ncells, num_max=0, count_channel=127,
+            slab=2048, window=512))
+    rec("paint_128l", paint_fn, (svals, cells))
+
+    tbl = segment_paint(svals, cells, num_cells=ncells, num_max=0,
+                        count_channel=127, slab=2048, window=512)
+
+    def unpaint_fn(t, c):
+        return jnp.sum(segment_unpaint(t, c, num_rows=ncells))
+    rec("unpaint_128l", unpaint_fn, (tbl, cells))
 
 
 if __name__ == "__main__":

@@ -237,27 +237,42 @@ class PointPillarsPipeline(Pipeline):
 
     def predict(self, params, batch_stats, batch):
         preds, _ = self._forward(params, batch_stats, batch, train=False)
-        boxes = decode_boxes(preds["box"], self.anchors[None])  # (B,A,7)
+
+        # Preselect nms_pre candidates BY SCORE before any decode math:
+        # decoding all ~107k anchors (exp/sincos on (B, A, 7)) and
+        # exact top_k over A cost ~1.3 ms/batch-8; approx_max_k rides
+        # the TPU sort unit and the decode then touches only the kept
+        # rows (the dropped mass is far below the score threshold —
+        # recall_target 0.99 at the preselect boundary).
+        scores_all = jax.nn.sigmoid(preds["cls"])               # (B,A,C)
+        scores = jnp.max(scores_all, axis=-1)
+        npre = min(self.cfg.budget.nms_pre, scores.shape[1])
+        _, idx = jax.lax.approx_max_k(scores, npre,
+                                      recall_target=0.99)
+
+        def take(x):
+            return jnp.take_along_axis(x, idx[..., None], axis=1)
+        sel_scores_all = take(scores_all)                    # (B,P,C)
+        boxes = decode_boxes(take(preds["box"]), self.anchors[idx])
 
         # Resolve yaw with the direction bin: mod(yaw, pi) selects the
         # in-half angle, the bin picks the half (assigner convention).
-        dir_bin = jnp.argmax(preds["dir"], axis=-1)             # (B,A)
+        dir_bin = jnp.argmax(take(preds["dir"]), axis=-1)       # (B,P)
         yaw = jnp.mod(boxes[..., 6], jnp.pi)
         yaw = jnp.where(dir_bin == 1, yaw, yaw - jnp.pi)
         boxes = jnp.concatenate([boxes[..., :6], yaw[..., None]], -1)
 
-        scores_all = jax.nn.sigmoid(preds["cls"])               # (B,A,C)
-        scores = jnp.max(scores_all, axis=-1)
-        labels = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
+        sel_scores = jnp.max(sel_scores_all, axis=-1)
+        labels = jnp.argmax(sel_scores_all, axis=-1).astype(jnp.int32)
 
         nms = jax.vmap(lambda b, s, l: rotated_nms(
             b, s, l,
             iou_threshold=self.nms_iou,
             score_threshold=self.score_thr,
-            nms_pre=self.cfg.budget.nms_pre,
+            nms_pre=npre,
             nms_post=self.cfg.budget.nms_post,
             k_near=self.cfg.budget.nms_near,
-        ))(boxes, scores, labels)
+        ))(boxes, sel_scores, labels)
         return {
             "boxes": nms.boxes,
             "scores": nms.scores,
