@@ -175,7 +175,6 @@ class FusedPillarEncoder(nn.Module):
         Numerics match `_reference_path` modulo float association (same
         point multiset for the BN batch stats, exact routing)."""
         from lisec_tpu.ops.pallas.pillar_paint import segment_paint
-        from lisec_tpu.ops.pallas.unpaint import segment_unpaint
         from lisec_tpu.ops.scatter import segment_max_sorted
 
         nx, ny = self.grid
@@ -198,9 +197,16 @@ class FusedPillarEncoder(nn.Module):
             svals, cell_s, num_cells=ncells, num_max=0,
             count_channel=127, slab=2048, window=512,
             interpret=interpret)                           # (B, NC, 128)
-        per_pt = segment_unpaint(
-            stats, cell_s, num_rows=ncells, interpret=interpret)
-        cnt_pt = jnp.maximum(per_pt[..., 127:], 1.0)
+        # Per-point means are a 4-LANE gather (xyz sums + count): slice
+        # the table first and take_along_axis — ~2 MB of output even at
+        # the ~2 GB/s gather ceiling, vs 10.8 ms/batch-4 for the
+        # 128-lane unpaint kernel this replaced (profile_train round 3).
+        stats4 = jnp.concatenate(
+            [stats[..., :3], stats[..., 127:]], axis=-1)   # (B, NC, 4)
+        per_pt = jnp.take_along_axis(
+            stats4, jnp.minimum(cell_s, ncells - 1)[..., None], axis=1)
+        per_pt = jnp.where((cell_s < ncells)[..., None], per_pt, 0.0)
+        cnt_pt = jnp.maximum(per_pt[..., 3:], 1.0)
         mean_pt = per_pt[..., :3] / cnt_pt                 # (B, N, 3)
 
         cell_c = jnp.minimum(cell_s, ncells - 1)

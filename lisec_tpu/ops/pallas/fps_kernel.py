@@ -72,6 +72,56 @@ def _fps_kernel(rows_ref, out_ref, dist_ref, m: int):
     jax.lax.fori_loop(1, m, body, seed)
 
 
+def _fps_batched_kernel(rows_ref, out_ref, dist_ref, m: int):
+    """Batched FPS: all B clouds advance together in each round.
+
+    The recurrence is sequential in the SAMPLE index, not the cloud —
+    vmapping the single-cloud kernel serializes B*M rounds on the core
+    (measured 6.9 ms for 16x(2048->512), ~0.84 us/round of mostly
+    reduce latency). Here each round updates a (B, N) distance table
+    and does ROW-WISE reductions, so the per-round latency is paid once
+    for the whole batch: M rounds total.
+
+    rows_ref: (4, B, N) f32 — xyz + validity. out_ref: (B, M) i32.
+    """
+    bsz, n = rows_ref.shape[1], rows_ref.shape[2]
+    xs = rows_ref[0]
+    ys = rows_ref[1]
+    zs = rows_ref[2]
+    valid = rows_ref[3] > 0.5                              # (B, N)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bsz, n), 1)
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (bsz, m), 1)
+
+    def argmax_low(x):
+        top = jnp.max(x, axis=1, keepdims=True)
+        return jnp.min(jnp.where(x >= top, lane, n),
+                       axis=1).astype(jnp.int32)           # (B,)
+
+    seed = jnp.minimum(
+        jnp.min(jnp.where(valid, lane, n), axis=1), n - 1
+    ).astype(jnp.int32)
+    seed = jnp.where(jnp.any(valid, axis=1), seed, 0)
+    # Scalar/dynamic-column VMEM stores don't lower; accumulate each
+    # round's column with a masked add over the (B, M) block instead.
+    out_ref[:] = jnp.where(lane_m == 0, seed[:, None], 0)
+    dist_ref[:] = jnp.where(valid, 3.0e38, _NEG)
+
+    def body(i, last):
+        sel = (lane == last[:, None]).astype(xs.dtype)     # (B, N)
+        lx = jnp.sum(xs * sel, axis=1, keepdims=True)
+        ly = jnp.sum(ys * sel, axis=1, keepdims=True)
+        lz = jnp.sum(zs * sel, axis=1, keepdims=True)
+        d2 = (xs - lx) ** 2 + (ys - ly) ** 2 + (zs - lz) ** 2
+        d2 = jnp.where(valid, d2, _NEG)
+        new_dist = jnp.minimum(dist_ref[:], d2)
+        dist_ref[:] = new_dist
+        nxt = argmax_low(new_dist)                         # (B,)
+        out_ref[:] = out_ref[:] + jnp.where(lane_m == i, nxt[:, None], 0)
+        return nxt
+
+    jax.lax.fori_loop(1, m, body, seed)
+
+
 @partial(jax.jit, static_argnames=("num_samples", "interpret"))
 def fps_pallas(
     points: jax.Array,
@@ -81,9 +131,24 @@ def fps_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas FPS: points (..., N, 3), mask (..., N) -> (..., M) int32."""
-    if points.ndim > 2:
+    if points.ndim > 3:
         return jax.vmap(lambda p, m: fps_pallas(
             p, m, num_samples, interpret=interpret))(points, point_mask)
+    if points.ndim == 3:
+        b, n, _ = points.shape
+        rows = jnp.zeros((4, b, n), jnp.float32)
+        rows = rows.at[0].set(points[..., 0].astype(jnp.float32))
+        rows = rows.at[1].set(points[..., 1].astype(jnp.float32))
+        rows = rows.at[2].set(points[..., 2].astype(jnp.float32))
+        rows = rows.at[3].set(point_mask.astype(jnp.float32))
+        return pl.pallas_call(
+            partial(_fps_batched_kernel, m=num_samples),
+            out_shape=jax.ShapeDtypeStruct((b, num_samples), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+            interpret=interpret,
+        )(rows)
 
     n = points.shape[0]
     # Pack into the (8, N) row layout the VPU wants (8 sublanes).
