@@ -29,10 +29,10 @@ def main():
         "data.augment.enabled=false",
         "train.ckpt_dir=",
     ])
-    # Batch 16 amortizes per-call dispatch and the tunnel transfer
-    # better than 8 (measured: e2e 87.5 vs 74.7 clouds/s, device 314
-    # vs 298, voxelize 0.65 vs 0.50 GB/s) at the same budgets.
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    # Batch 32: device throughput saturates there (measured round 3:
+    # 446-464 clouds/s at b16, 502 at b32, 502 at b64) at the same
+    # budgets; latency-sensitive callers pick their own batch.
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     result = run_benchmark(cfg, batch_size=batch_size)
     print(json.dumps(result))
 
