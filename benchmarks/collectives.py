@@ -33,7 +33,7 @@ def main(n_devices: int = 0, mb: float = 16.0):
 
     @jax.jit
     def allreduce(x):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         f = shard_map(lambda s: jax.lax.psum(s, "data"), mesh=mesh,
                       in_specs=P("data"), out_specs=P("data"))
         return jnp.sum(f(x))

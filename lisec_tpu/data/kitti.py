@@ -120,7 +120,10 @@ def get_label_objects(path: str) -> List[KittiObject]:
         return [KittiObject(l) for l in f if l.strip()]
 
 
-@functools.lru_cache(maxsize=4096)
+# maxsize bounds host RAM at ~130 KB/scene: 1024 ≈ 130 MB, sized to an
+# epoch's working set (hit rate comes from seed reuse across epochs,
+# not cache breadth; 4096 would have crept toward 0.5 GB on this box).
+@functools.lru_cache(maxsize=1024)
 def _fixture_scene_cached(seed: int, num_classes: int):
     return make_detection_scene(seed, num_classes=num_classes)
 

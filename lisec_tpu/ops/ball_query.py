@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("num_neighbors",))
+@partial(jax.jit, static_argnames=("num_neighbors", "force_approx"))
 def ball_query(
     centers: jax.Array,
     points: jax.Array,
@@ -24,6 +24,7 @@ def ball_query(
     *,
     radius: float,
     num_neighbors: int,
+    force_approx: bool | None = None,
 ) -> jax.Array:
     """Indices of up to K points within ``radius`` of each center.
 
@@ -38,7 +39,8 @@ def ball_query(
     if centers.ndim > 2:
         return jax.vmap(
             lambda c, p, m: ball_query(
-                c, p, m, radius=radius, num_neighbors=num_neighbors)
+                c, p, m, radius=radius, num_neighbors=num_neighbors,
+                force_approx=force_approx)
         )(centers, points, point_mask)
 
     n = points.shape[0]
@@ -58,7 +60,12 @@ def ball_query(
     # TPU approx_max_k rides the dedicated sort unit; ball-query
     # semantics tolerate its <2% recall loss (the canonical op returns
     # an ARBITRARY <=K in-radius subset anyway).
-    if jax.default_backend() == "tpu":
+    # force_approx exists so CPU tests can exercise the approx branch
+    # that ships on device (off-device approx_max_k is an exact
+    # fallback, but the wiring/shape/fill semantics are the same code).
+    use_approx = (jax.default_backend() == "tpu"
+                  if force_approx is None else force_approx)
+    if use_approx:
         neg_topk, _ = jax.lax.approx_max_k(
             -key.astype(jnp.float32), num_neighbors,
             recall_target=0.98)

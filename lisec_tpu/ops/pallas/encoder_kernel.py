@@ -317,6 +317,13 @@ def pillar_canvas_fused(
 
     num_slabs = -(-ncells // slab)
     padded_cells = num_slabs * slab
+    # Cell ids ride the 8th stat row bitcast to f32; that trick is
+    # numerically inert only while every id's bit pattern is a denormal,
+    # i.e. ids < 2^23. Static under jit, so enforce it here.
+    if padded_cells >= 2 ** 23:
+        raise ValueError(
+            f"grid {grid} pads to {padded_cells} cells >= 2^23; cell ids "
+            "would no longer bitcast to denormal f32 (see cellf below).")
     # Pad the stream to a window multiple PLUS one window of slack so
     # final windows (start rounded down, up to one window of overrun)
     # stay in bounds.

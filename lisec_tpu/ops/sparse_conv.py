@@ -208,6 +208,12 @@ def build_scatter_rulebook(
     v_out = coords_out.shape[1]
     go = spec.grid_out
     n_out_cells = go[0] * go[1] * go[2]
+    # The packed merge key below is cell*2 + tag in int32; grids with
+    # >= 2^30 cells would overflow it silently. Static under jit.
+    if n_out_cells >= 2 ** 30:
+        raise ValueError(
+            f"grid_out {go} has {n_out_cells} cells >= 2^30; the packed "
+            "int32 merge key would overflow. Use a coarser grid.")
 
     lin_out = jax.vmap(lambda c: _lin_ids(c, go))(
         coords_out.reshape(b, v_out, 3))                # (B, V_out)

@@ -34,7 +34,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -109,7 +109,7 @@ def fps_sharded(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     return fn(points, point_mask)
 
 
@@ -152,5 +152,5 @@ def ball_query_sharded(
         local, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     return fn(centers, points, point_mask)

@@ -175,6 +175,30 @@ class TestBallQuery:
             radius=0.5, num_neighbors=4))
         assert np.all(got == 0)
 
+    def test_approx_branch_parity(self, rng):
+        # The TPU build takes the approx_max_k branch, which CPU tests
+        # never hit by default (ADVICE r3). Force it here: same wiring,
+        # shapes, and repeat-fill semantics; assert bounded recall loss
+        # vs the exact branch (exact fallback off-device -> recall 1.0,
+        # but the device branch's recall_target is the contract).
+        pts = _cloud(rng, 512, c=3, lo=(0, 0, 0), hi=(4, 4, 4))
+        centers = pts[:64]
+        mask = np.ones(512, bool)
+        kw = dict(radius=0.8, num_neighbors=16)
+        exact = np.asarray(ops.ball_query(
+            jnp.asarray(centers), jnp.asarray(pts), jnp.asarray(mask),
+            force_approx=False, **kw))
+        approx = np.asarray(ops.ball_query(
+            jnp.asarray(centers), jnp.asarray(pts), jnp.asarray(mask),
+            force_approx=True, **kw))
+        assert approx.shape == exact.shape
+        assert approx.dtype == exact.dtype
+        # Per-center recall of the exact neighbor set.
+        recalls = [
+            len(set(a) & set(e)) / max(len(set(e)), 1)
+            for a, e in zip(approx, exact)]
+        assert np.mean(recalls) >= 0.95
+
 
 class TestThreeNN:
     def test_matches_oracle(self, rng):
