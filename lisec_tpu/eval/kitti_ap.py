@@ -20,12 +20,13 @@ CLASS_IOU_THRESHOLDS = {0: 0.7, 1: 0.5, 2: 0.5}   # Car, Pedestrian, Cyclist
 DIFFICULTY_NAMES = ("easy", "moderate", "hard")
 
 
-def _match_frame(det_boxes, det_scores, gt_boxes, gt_ignored,
-                 iou_thr, metric) -> List:
-    """Greedy matching in score order for one frame.
+def _match_frame_pairs(det_boxes, det_scores, gt_boxes, gt_ignored,
+                       iou_thr, metric) -> List:
+    """Reference greedy matcher: per-(det, gt) single-pair IoU calls.
 
-    Returns per-detection outcome list: (score, kind) with kind in
-    {"tp", "fp", "ignore"}. Each gt is matched at most once.
+    Kept as the oracle for :func:`_match_frame` (tests assert equal
+    outcomes); O(D*G) interpreted polygon clips make it unusable at
+    KITTI-val scale (3,769 frames x 3 buckets x 2 metrics).
     """
     iou_fn = iou_3d_np if metric == "3d" else rotated_iou_bev_np
     order = np.argsort(-det_scores, kind="stable")
@@ -46,6 +47,37 @@ def _match_frame(det_boxes, det_scores, gt_boxes, gt_ignored,
             out.append((det_scores[di], "ignore"))
         else:
             taken[best_gi] = True
+            out.append((det_scores[di], "tp"))
+    return out
+
+
+def _match_frame(det_scores, iou, gt_ignored, iou_thr) -> List:
+    """Greedy matching in score order for one frame, from a
+    precomputed (D, G) IoU matrix (computed ONCE per frame/class/metric
+    and reused across the 3 difficulty buckets).
+
+    Same semantics as :func:`_match_frame_pairs`: each detection (in
+    descending score order) takes the untaken gt with the highest IoU
+    >= threshold (ties -> lowest gt index, like the pair loop's strict
+    `>` against a running best). Each gt matches at most once.
+    """
+    order = np.argsort(-det_scores, kind="stable")
+    taken = np.zeros(iou.shape[1], bool)
+    out = []
+    for di in order:
+        if iou.shape[1]:
+            row = np.where(taken, -1.0, iou[di])
+            gi = int(np.argmax(row))
+            best = row[gi]
+        else:
+            best = -1.0
+        if best < iou_thr:       # thr > 0, so this also covers iou == 0
+            out.append((det_scores[di], "fp"))
+        elif gt_ignored[gi]:
+            taken[gi] = True
+            out.append((det_scores[di], "ignore"))
+        else:
+            taken[gi] = True
             out.append((det_scores[di], "tp"))
     return out
 
@@ -92,28 +124,34 @@ def evaluate_kitti_ap(
                    'difficulty' (G,) int (-1 = ignore always)}.
     Returns {'<cls>_<metric>_ap_<difficulty>': AP in percent}.
     """
+    from lisec_tpu.eval.detection import iou_matrix_np
+
     results = {}
     for cls in class_ids:
         iou_thr = CLASS_IOU_THRESHOLDS.get(cls, 0.5)
+        # One (D, G) IoU matrix per frame, computed once and reused by
+        # all three difficulty buckets (the bucket only changes which
+        # gts are "ignored", not the geometry).
+        frames = []
+        for det, gt in zip(detections, ground_truths):
+            sel = det["labels"] == cls
+            g_cls = gt["classes"] == cls
+            diff = gt.get(
+                "difficulty", np.zeros(len(gt["boxes"]), np.int32))
+            iou = iou_matrix_np(
+                np.asarray(det["boxes"][sel], np.float64),
+                np.asarray(gt["boxes"][g_cls], np.float64), metric)
+            frames.append((det["scores"][sel], iou, diff[g_cls]))
+
         for bucket, bucket_name in enumerate(DIFFICULTY_NAMES):
             outcomes, num_gt = [], 0
-            for det, gt in zip(detections, ground_truths):
-                sel = det["labels"] == cls
-                g_cls = gt["classes"] == cls
-                diff = gt.get(
-                    "difficulty",
-                    np.zeros(len(gt["boxes"]), np.int32))
+            for scores, iou, diff in frames:
                 # Current-bucket gts count; harder/unknown ones are
                 # "ignored": matching them is neither TP nor FP.
-                g_valid = g_cls & (diff >= 0) & (diff <= bucket)
-                g_ignored_mask = g_cls & ~g_valid
-                keep = g_cls
-                boxes = gt["boxes"][keep]
-                ignored = g_ignored_mask[keep]
+                g_valid = (diff >= 0) & (diff <= bucket)
                 num_gt += int(g_valid.sum())
                 outcomes.extend(_match_frame(
-                    det["boxes"][sel], det["scores"][sel],
-                    boxes, ignored, iou_thr, metric))
+                    scores, iou, ~g_valid, iou_thr))
             results[f"class{cls}_{metric}_ap_{bucket_name}"] = \
                 _average_precision(outcomes, num_gt, num_points)
     return results

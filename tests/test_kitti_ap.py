@@ -88,6 +88,66 @@ def test_harder_gts_ignored_not_fn():
     assert res["class0_3d_ap_hard"] < 60.0
 
 
+class TestMatrixMatcher:
+    """The matrix-based greedy matcher (one (D, G) IoU per frame,
+    reused across buckets) must reproduce the pairwise reference."""
+
+    def test_matches_pairwise_reference(self):
+        from lisec_tpu.eval.detection import iou_matrix_np
+        from lisec_tpu.eval.kitti_ap import (
+            _match_frame, _match_frame_pairs)
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            g = _gt_frame(rng, n=int(rng.integers(0, 8)))
+            nd = int(rng.integers(0, 12))
+            det = _gt_frame(rng, n=nd)["boxes"]
+            if nd and len(g["boxes"]):
+                # overlap some detections with gts
+                k = min(nd, len(g["boxes"]))
+                det[:k] = g["boxes"][:k] + rng.normal(0, 0.3, (k, 7))
+                det[:, 3:6] = np.abs(det[:, 3:6]) + 0.5
+            scores = rng.uniform(0, 1, nd).astype(np.float32)
+            ignored = rng.random(len(g["boxes"])) < 0.3
+            for metric in ("3d", "bev"):
+                ref = _match_frame_pairs(
+                    det, scores, g["boxes"], ignored, 0.5, metric)
+                iou = iou_matrix_np(np.asarray(det, np.float64),
+                                    np.asarray(g["boxes"], np.float64),
+                                    metric)
+                got = _match_frame(scores, iou, ignored, 0.5)
+                assert [k for _, k in ref] == [k for _, k in got], \
+                    (trial, metric, ref, got)
+
+    def test_scales_to_val_sized_input(self):
+        """Smoke the evaluator at a KITTI-val-shaped load (a slice of
+        it — the full 3,769-frame dryrun lives in benchmarks/)."""
+        import time
+        from lisec_tpu.eval.kitti_ap import (
+            evaluate_kitti_ap, evaluate_kitti_ap_official)
+        rng = np.random.default_rng(11)
+        gts, dets = [], []
+        for _ in range(200):
+            g = _gt_frame(rng, n=10)
+            g["difficulty"] = rng.integers(0, 3, 10).astype(np.int32)
+            gts.append(g)
+            det = g["boxes"] + rng.normal(0, 0.2, (10, 7))
+            det[:, 3:6] = np.abs(det[:, 3:6]) + 0.5
+            far = det.copy()
+            far[:, 0] += 90.0
+            dets.append({
+                "boxes": np.concatenate([det, far]).astype(np.float32),
+                "scores": rng.uniform(0, 1, 20).astype(np.float32),
+                "labels": np.zeros(20, np.int32),
+            })
+        t0 = time.perf_counter()
+        evaluate_kitti_ap(dets, gts, class_ids=[0], metric="3d")
+        evaluate_kitti_ap_official(dets, gts, class_ids=[0], metric="3d")
+        dt = time.perf_counter() - t0
+        # 200 frames in well under a minute -> 3,769 in ~minutes even
+        # on this 1-core host (the pairwise matcher took >1 s/frame).
+        assert dt < 60.0, f"AP eval too slow: {dt:.1f}s for 200 frames"
+
+
 class TestIoUMatrix:
     def test_matches_pairwise(self):
         from lisec_tpu.eval.detection import (
