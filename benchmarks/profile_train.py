@@ -81,17 +81,17 @@ def main():
     # when assign_window is set; the round-3a profiler mistakenly
     # timed the dense assign_targets here and printed 570 ms while the
     # in-step windowed one costs ~26).
-    from lisec_tpu.training.assigner import assign_targets_windowed
+    from lisec_tpu.training.assigner import assign_targets_windowed_batched
 
     def assign_fn(gtb, gtc, gtm):
         if pipeline.assign_window:
-            out = jax.vmap(lambda b, c, m: assign_targets_windowed(
+            out = assign_targets_windowed_batched(
                 pipeline.anchors, pipeline.anchor_classes,
                 pipeline.pos_thr, pipeline.neg_thr,
-                pipeline.class_sizes, pipeline.class_z, b, c, m,
+                pipeline.class_sizes, pipeline.class_z, gtb, gtc, gtm,
                 feature_map_size=pipeline.fmap,
                 pc_range=tuple(cfg.voxel.point_cloud_range),
-                window=pipeline.assign_window))(gtb, gtc, gtm)
+                window=pipeline.assign_window)
         else:
             out = jax.vmap(lambda b, c, m: assign_targets(
                 pipeline.anchors, pipeline.anchor_classes,

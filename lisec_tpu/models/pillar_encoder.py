@@ -190,19 +190,22 @@ class FusedPillarEncoder(nn.Module):
 
         interpret = jax.devices()[0].platform != "tpu"
         ones = valid_s[..., None]
+        # 8-channel paint: only xyz sums + count are needed; the kernel's
+        # DMA/scan/table cost scales with channel width (4.8 ms at 128
+        # lanes for 4 useful channels — round-3 ledger).
         svals = jnp.concatenate(
             [jnp.stack([xs, ys, zs], -1) * ones,
-             jnp.zeros((b, n, 124), jnp.float32), ones], axis=-1)
+             jnp.zeros((b, n, 4), jnp.float32), ones], axis=-1)
         stats = segment_paint(
             svals, cell_s, num_cells=ncells, num_max=0,
-            count_channel=127, slab=2048, window=512,
-            interpret=interpret)                           # (B, NC, 128)
+            count_channel=7, slab=2048, window=512,
+            interpret=interpret)                           # (B, NC, 8)
         # Per-point means are a 4-LANE gather (xyz sums + count): slice
         # the table first and take_along_axis — ~2 MB of output even at
         # the ~2 GB/s gather ceiling, vs 10.8 ms/batch-4 for the
         # 128-lane unpaint kernel this replaced (profile_train round 3).
         stats4 = jnp.concatenate(
-            [stats[..., :3], stats[..., 127:]], axis=-1)   # (B, NC, 4)
+            [stats[..., :3], stats[..., 7:]], axis=-1)     # (B, NC, 4)
         per_pt = jnp.take_along_axis(
             stats4, jnp.minimum(cell_s, ncells - 1)[..., None], axis=1)
         per_pt = jnp.where((cell_s < ncells)[..., None], per_pt, 0.0)

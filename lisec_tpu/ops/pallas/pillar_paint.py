@@ -21,10 +21,12 @@ sorts, by contrast, are ~free (0.5 ms for 8x32768x5). So:
      slab rows with ONE MXU matmul — data-dependent routing at matmul
      speed instead of scatter speed.
 
-Channel convention (static `num_max` splits the 128 lanes): channels
-[0, num_max) are max-reduced per cell (init -3e38), channels
-[num_max, 128) are sum-reduced (init 0). One sum channel must be an
-all-ones "count" channel, named by `count_channel`: the kernel uses
+Channel convention (static `num_max` splits the C channels; C is a
+sublane-multiple parameter 8..128 — DMA/scan/table cost scales with C,
+so carry only the channels you use): channels [0, num_max) are
+max-reduced per cell (init -3e38), channels [num_max, C) are
+sum-reduced (init 0). One sum channel must be an all-ones "count"
+channel, named by `count_channel`: the kernel uses
 routed-count > 0 to tell real segment-ends from empty routing rows
 (cells spanning a window boundary combine correctly: maxes by max,
 partial sums by addition).
@@ -53,7 +55,7 @@ LANES = 128
 def _paint_kernel(offs_ref, vals_hbm, cell_hbm, out_ref,
                   vals_s, cell_s, sems,
                   *, slab: int, window: int, num_max: int,
-                  count_channel: int, exact: bool):
+                  count_channel: int, exact: bool, chans: int):
     b = pl.program_id(0)
     s = pl.program_id(1)
     lo = offs_ref[b, s]
@@ -62,7 +64,7 @@ def _paint_kernel(offs_ref, vals_hbm, cell_hbm, out_ref,
     w = window
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)         # points
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (slab, LANES), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (slab, chans), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (slab, w), 0)
     is_max_lane = out_lane < num_max
 
@@ -129,18 +131,18 @@ def _paint_kernel(offs_ref, vals_hbm, cell_hbm, out_ref,
                 rm = pltpu.roll(vmax, shift=sh, axis=1)
                 rm = jnp.where(lane >= sh, rm, _NEG)
                 vmax = jnp.where(ok, jnp.maximum(vmax, rm), vmax)
-            if num_max < LANES:
+            if num_max < chans:
                 rs = pltpu.roll(vsum, shift=sh, axis=1)
                 rs = jnp.where(lane >= sh, rs, 0.0)
                 vsum = jnp.where(ok, vsum + rs, vsum)
             sh *= 2
         if num_max == 0:
             scanned = vsum
-        elif num_max == LANES:
+        elif num_max == chans:
             scanned = vmax
         else:
-            ch = jax.lax.broadcasted_iota(jnp.int32, (LANES, w), 0)
-            scanned = jnp.where(ch < num_max, vmax, vsum)  # (128, w)
+            ch = jax.lax.broadcasted_iota(jnp.int32, (chans, w), 0)
+            scanned = jnp.where(ch < num_max, vmax, vsum)  # (chans, w)
 
         # Route each cell's segment-end to its slab row. The one-hot
         # matmul is a pure SELECTION, so splitting the f32 operand into
@@ -182,7 +184,7 @@ def _paint_kernel(offs_ref, vals_hbm, cell_hbm, out_ref,
                                    "count_channel", "slab", "window",
                                    "interpret", "exact"))
 def segment_paint(
-    vals: jax.Array,           # (B, N, 128) f32, sorted by cell
+    vals: jax.Array,           # (B, N, C) f32, sorted by cell
     cell_sorted: jax.Array,    # (B, N) int32 ascending; invalid >= num_cells
     *,
     num_cells: int,
@@ -193,15 +195,21 @@ def segment_paint(
     interpret: bool = False,
     exact: bool = False,       # bf16 x3 routing: bit-exact selection
 ) -> jax.Array:
-    """Dense per-cell reduction table (B, num_cells, 128) f32.
+    """Dense per-cell reduction table (B, num_cells, C) f32.
 
     Channels [0, num_max): per-cell max (-3e38 where empty);
-    channels [num_max, 128): per-cell sum (0 where empty). Channel
+    channels [num_max, C): per-cell sum (0 where empty). Channel
     `count_channel` (>= num_max) must be 1.0 on every point.
     """
     b, n, c = vals.shape
-    assert c == LANES, f"vals must have {LANES} channels, got {c}"
-    assert num_max <= count_channel < LANES
+    # Channel width is a parameter (8 <= C <= 128, sublane multiple):
+    # many callers carry only a handful of useful channels (the train
+    # encoder's stats paint uses 4 of 128), and the window DMA + scan
+    # VPU work + table HBM writes all scale with C (the one-hot routing
+    # matmul does not — its output tile is lane-padded either way).
+    assert c % 8 == 0 and 8 <= c <= LANES, \
+        f"vals channels must be a multiple of 8 in [8, {LANES}], got {c}"
+    assert num_max <= count_channel < c
     if n % window:
         # Pad the point axis to a window multiple: zero rows with the
         # max-cell sentinel keep the stream sorted and route nowhere.
@@ -231,9 +239,9 @@ def segment_paint(
             pl.BlockSpec(memory_space=pl.ANY),         # cell (B,1,N)
         ],
         out_specs=pl.BlockSpec(
-            (1, slab, LANES), lambda b_, s_, offs: (b_, s_, 0)),
+            (1, slab, c), lambda b_, s_, offs: (b_, s_, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, LANES, window), jnp.float32),  # double buffer
+            pltpu.VMEM((2, c, window), jnp.float32),      # double buffer
             pltpu.VMEM((2, 1, window), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -241,10 +249,10 @@ def segment_paint(
     out = pl.pallas_call(
         partial(_paint_kernel, slab=slab, window=window,
                 num_max=num_max, count_channel=count_channel,
-                exact=exact),
+                exact=exact, chans=c),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (b, padded_cells, LANES), jnp.float32),
+            (b, padded_cells, c), jnp.float32),
         interpret=interpret,
     )(offsets, vals_t, cell_l)
     return out[:, :num_cells]

@@ -42,7 +42,7 @@ LANES = 128
 
 def _unpaint_kernel(offs_ref, cell_hbm, tab_ref, out_hbm,
                     cell_s, out_s, sems, *, slab: int, window: int,
-                    exact: bool):
+                    exact: bool, chans: int):
     b = pl.program_id(0)
     s = pl.program_id(1)
     # DMA offsets must be provably 128-lane aligned on TPU (Mosaic
@@ -129,7 +129,7 @@ def _unpaint_kernel(offs_ref, cell_hbm, tab_ref, out_hbm,
 @partial(jax.jit, static_argnames=("num_rows", "slab", "window",
                                    "interpret", "exact"))
 def segment_unpaint(
-    table: jax.Array,          # (B, R, 128) f32
+    table: jax.Array,          # (B, R, C) f32, C a sublane multiple
     cell_sorted: jax.Array,    # (B, N) int32 ascending; invalid >= R
     *,
     num_rows: int,
@@ -138,14 +138,17 @@ def segment_unpaint(
     interpret: bool = False,
     exact: bool = False,       # bf16 x3 routing: bit-exact selection
 ) -> jax.Array:
-    """Per-point table rows (B, N, 128) f32: out[i] = table[cell[i]].
+    """Per-point table rows (B, N, C) f32: out[i] = table[cell[i]].
 
     Rows whose cell is >= num_rows come back 0 (the last slab's range
     is extended over the invalid-sentinel tail so every output row is
     written; out-of-range cells route a zero one-hot).
     """
     b, r, c = table.shape
-    assert c == LANES, f"table must have {LANES} channels, got {c}"
+    # Channel width is a parameter (sublane multiple): DMA and VMEM
+    # cost scale with it; the routing matmul's lane tile does not.
+    assert c % 8 == 0 and 8 <= c <= LANES, \
+        f"table channels must be a multiple of 8 in [8, {LANES}], got {c}"
     n = cell_sorted.shape[1]
     num_slabs = -(-r // slab)
     padded_rows = num_slabs * slab
@@ -178,22 +181,23 @@ def segment_unpaint(
         grid=(b, num_slabs),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # cell (B,1,N')
-            pl.BlockSpec((1, slab, LANES),
+            pl.BlockSpec((1, slab, c),
                          lambda b_, s_, offs: (b_, s_, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),       # manual DMA
         scratch_shapes=[
             pltpu.VMEM((2, 1, window), jnp.int32),
-            pltpu.VMEM((2, window, LANES), jnp.float32),
+            pltpu.VMEM((2, window, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     table = table.astype(jnp.float32)
     out = pl.pallas_call(
-        partial(_unpaint_kernel, slab=slab, window=window, exact=exact),
+        partial(_unpaint_kernel, slab=slab, window=window, exact=exact,
+                chans=c),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (b, npad + window, LANES), jnp.float32),
+            (b, npad + window, c), jnp.float32),
         interpret=interpret,
     )(offsets, cell_sorted[:, None, :], table)
 

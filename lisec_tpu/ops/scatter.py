@@ -91,15 +91,19 @@ def _segmax_impl(h, cell_sorted, num_cells, interpret):
 
     b, n, c = h.shape
     assert 2 * c <= 128, "segment_max_sorted supports C <= 64"
+    # Narrowest sublane-multiple table that fits C max channels + the
+    # count channel (C=64 -> 72 lanes instead of 128: the paint DMA /
+    # scan / table-write cost scales with width).
+    width = -(-(c + 1) // 8) * 8
     vals = jnp.concatenate([
         h.astype(jnp.float32),
-        jnp.zeros((b, n, 127 - c), jnp.float32),
+        jnp.zeros((b, n, width - 1 - c), jnp.float32),
         jnp.ones((b, n, 1), jnp.float32)], axis=-1)
     tab = segment_paint(
         vals, cell_sorted, num_cells=num_cells, num_max=c,
-        count_channel=127, slab=2048, window=512, interpret=interpret,
-        exact=True)
-    return tab[..., :c], tab[..., 127]
+        count_channel=width - 1, slab=2048, window=512,
+        interpret=interpret, exact=True)
+    return tab[..., :c], tab[..., width - 1]
 
 
 def _segmax_fwd(h, cell_sorted, num_cells, interpret):
@@ -113,12 +117,18 @@ def _segmax_bwd(num_cells, interpret, res, g):
     h, cell_sorted, canvas = res
     g_canvas, _ = g                      # count carries no h-gradient
     b, _, c = h.shape
+    width = -(-(2 * c) // 8) * 8
     tab = jnp.concatenate([
         canvas, g_canvas.astype(jnp.float32),
-        jnp.zeros((b, canvas.shape[1], 128 - 2 * c), jnp.float32)],
+        jnp.zeros((b, canvas.shape[1], width - 2 * c), jnp.float32)],
         axis=-1)
+    # (A round-3 note proposed routing the cotangent lanes with 2
+    # passes instead of 3 — but the one-hot matmul's output tile is
+    # lane-padded to 128 on the MXU, so slicing the third pass to the
+    # canvas lanes saves nothing; exact everywhere costs the same.)
     per_pt = segment_unpaint(tab, cell_sorted, num_rows=num_cells,
-                             interpret=interpret, exact=True)
+                             interpret=interpret, exact=True,
+                             slab=2048)
     mx = per_pt[..., :c]
     gp = per_pt[..., c:2 * c]
     dh = jnp.where(h.astype(jnp.float32) == mx, gp, 0.0)

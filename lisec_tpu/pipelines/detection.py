@@ -33,7 +33,8 @@ from lisec_tpu.pipelines.base import Pipeline
 from lisec_tpu.registry import register_pipeline, register_model
 from lisec_tpu.training.assigner import (
     DEFAULT_ANCHORS, AnchorConfig, assign_targets,
-    assign_targets_windowed, generate_anchors)
+    assign_targets_windowed, assign_targets_windowed_batched,
+    generate_anchors)
 from lisec_tpu.training.losses import (
     cross_entropy, sigmoid_focal_loss, sin_difference, smooth_l1)
 
@@ -182,14 +183,13 @@ class PointPillarsPipeline(Pipeline):
             params, batch_stats, batch, train, rng)
 
         if self.assign_window:
-            assign = jax.vmap(lambda b, c, m: assign_targets_windowed(
+            assign = assign_targets_windowed_batched(
                 self.anchors, self.anchor_classes, self.pos_thr,
-                self.neg_thr, self.class_sizes, self.class_z, b, c, m,
+                self.neg_thr, self.class_sizes, self.class_z,
+                batch["gt_boxes"], batch["gt_classes"], batch["gt_mask"],
                 feature_map_size=self.fmap,
                 pc_range=tuple(self.cfg.voxel.point_cloud_range),
-                window=self.assign_window))(
-                    batch["gt_boxes"], batch["gt_classes"],
-                    batch["gt_mask"])
+                window=self.assign_window)
         else:
             assign = jax.vmap(lambda b, c, m: assign_targets(
                 self.anchors, self.anchor_classes, self.pos_thr,

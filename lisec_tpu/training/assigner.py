@@ -236,6 +236,173 @@ def assign_targets_windowed(
     return AssignResult(cls_targets, reg_targets, dir_targets, positive)
 
 
+@partial(jax.jit, static_argnames=("feature_map_size", "pc_range",
+                                   "window"))
+def assign_targets_windowed_batched(
+    anchors: jax.Array,          # (A, 7) flat anchor constants
+    anchor_classes: jax.Array,   # (A,) int32
+    pos_thr: jax.Array,          # (A,)
+    neg_thr: jax.Array,          # (A,)
+    class_sizes: jax.Array,      # (C, 3)
+    class_z: jax.Array,          # (C,)
+    gt_boxes: jax.Array,         # (B, M, 7)
+    gt_classes: jax.Array,       # (B, M) int32
+    gt_mask: jax.Array,          # (B, M) bool
+    *,
+    feature_map_size: Tuple[int, int],
+    pc_range: Tuple[float, ...],
+    window: int = 32,
+) -> AssignResult:
+    """Batched windowed assignment with SORT-based per-anchor reduction
+    — same outputs as :func:`assign_targets_windowed`, no scalar
+    scatters on the hot path.
+
+    The per-frame version reconstructs per-anchor results with three
+    scalar scatter/gather passes over the ~131k window pairs (~7 ns/row
+    each on XLA:TPU — ~11 ms/batch-4, half the assigner). Here the
+    pairs are co-sorted by (anchor, -iou, gt) — multi-operand sorts are
+    ~free on this chip — which makes each anchor's pairs a contiguous
+    segment whose FIRST row is the winner (max IoU, ties to lowest gt,
+    exactly the dense argmax tie-break). One slab-paint pass
+    (ops/pallas/pillar_paint.py, exact bf16x3 routing = bit-exact
+    selection) then reduces the segments:
+
+      channel 0 (max)  = IoU            -> best_iou per anchor
+      channel 1 (max)  = M - gt on the segment-start row, -inf
+                         elsewhere      -> winner gt per anchor
+      channel 7 (sum)  = 1              -> occupancy (empty -> -1/0)
+
+    IoUs are canonicalized with ``+ 0.0`` so -0.0 ties cannot order
+    differently from the == comparison the scatter version used.
+    """
+    b, m = gt_boxes.shape[:2]
+    a = anchors.shape[0]
+    ny, nx = feature_map_size
+    num_cls = class_sizes.shape[0]
+    num_rot = len(ROTATIONS)
+    r_per_cell = num_cls * num_rot
+    step_x = (pc_range[3] - pc_range[0]) / nx
+    step_y = (pc_range[4] - pc_range[1]) / ny
+    w = window
+
+    gx = (gt_boxes[..., 0] - pc_range[0]) / step_x - 0.5
+    gy = (gt_boxes[..., 1] - pc_range[1]) / step_y - 0.5
+    gx0 = jnp.clip(jnp.round(gx).astype(jnp.int32) - w // 2, 0,
+                   max(nx - w, 0))                        # (B, M)
+    gy0 = jnp.clip(jnp.round(gy).astype(jnp.int32) - w // 2, 0,
+                   max(ny - w, 0))
+
+    dd = jnp.arange(w, dtype=jnp.int32)
+    iy = gy0[..., None] + dd                              # (B, M, w)
+    ix = gx0[..., None] + dd
+
+    shape = (b, m, w, w, num_cls, num_rot)
+    ax = pc_range[0] + (ix.astype(jnp.float32) + 0.5) * step_x
+    ay = pc_range[1] + (iy.astype(jnp.float32) + 0.5) * step_y
+    ax_b = jnp.broadcast_to(ax[:, :, None, :, None, None], shape)
+    ay_b = jnp.broadcast_to(ay[:, :, :, None, None, None], shape)
+    az = jnp.broadcast_to(class_z[None, None, None, None, :, None],
+                          shape)
+    asz = jnp.broadcast_to(
+        class_sizes[None, None, None, None, :, None, :], shape + (3,))
+    rot = jnp.asarray(ROTATIONS, jnp.float32)
+    arot = jnp.broadcast_to(rot[None, None, None, None, None, :], shape)
+    win_anchors = jnp.concatenate(
+        [jnp.stack([ax_b, ay_b, az], -1), asz, arot[..., None]], -1)
+
+    # Flat pair layout for the IoU (tiny trailing dims on a deep layout
+    # get tile-padded — see assign_targets_windowed).
+    k = w * w * num_cls * num_rot
+    gt_flat = jnp.broadcast_to(
+        gt_boxes[:, :, None, :], (b, m, k, 7)).reshape(b * m * k, 7)
+    iou = rotated_iou_bev(win_anchors.reshape(b * m * k, 7), gt_flat)
+    iou = iou.reshape(shape) + 0.0          # -0.0 -> +0.0 (tie order)
+
+    cls_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 4)
+    pair_ok = (gt_mask.astype(bool)[:, :, None, None, None, None]
+               & (cls_idx == gt_classes[:, :, None, None, None, None]))
+    iou = jnp.where(pair_ok, iou, -1.0)
+
+    rot_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 5)
+    aidx = ((iy[:, :, :, None, None, None] * nx
+             + ix[:, :, None, :, None, None]) * r_per_cell
+            + cls_idx * num_rot + rot_idx)                # (B,M,w,w,C,R)
+
+    mk = m * k
+    iou_f = iou.reshape(b, mk)
+    ok_f = pair_ok.reshape(b, mk)
+    aidx_f = jnp.where(ok_f, aidx.reshape(b, mk), a)
+    gt_idx_f = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[None, :, None],
+        (b, m, k)).reshape(b, mk)
+
+    aidx_s, neg_iou_s, gt_s = jax.lax.sort(
+        (aidx_f, -iou_f, gt_idx_f), dimension=1, num_keys=3)
+    iou_s = -neg_iou_s
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), aidx_s[:, :-1]], axis=1)
+    is_start = aidx_s != prev
+
+    from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+    interpret = jax.devices()[0].platform != "tpu"
+    vals = jnp.stack([
+        iou_s,
+        jnp.where(is_start, (m - gt_s).astype(jnp.float32), -3.0e38),
+        jnp.zeros((b, mk), jnp.float32),
+        jnp.zeros((b, mk), jnp.float32),
+        jnp.zeros((b, mk), jnp.float32),
+        jnp.zeros((b, mk), jnp.float32),
+        jnp.zeros((b, mk), jnp.float32),
+        jnp.ones((b, mk), jnp.float32),
+    ], axis=-1)                                           # (B, MK, 8)
+    tab = segment_paint(
+        vals, aidx_s, num_cells=a, num_max=2, count_channel=7,
+        slab=2048, window=512, exact=True, interpret=interpret)
+    occupied = tab[..., 7] > 0.0                          # (B, A)
+    best_iou = jnp.where(occupied, tab[..., 0], -1.0)
+    best_gt = jnp.where(
+        occupied & (best_iou >= 0),
+        m - jnp.round(tab[..., 1]).astype(jnp.int32), 0)
+    best_gt = jnp.clip(best_gt, 0, m - 1)
+
+    # Forced match: per-gt argmax within its window (M rows per frame —
+    # the small scatters are off the hot path).
+    iou_per_gt = iou.reshape(b, m, k)
+    best_k = jnp.argmax(iou_per_gt, axis=2)
+    gt_best_anchor = jnp.take_along_axis(
+        aidx.reshape(b, m, k), best_k[..., None], axis=2)[..., 0]
+    gt_claims = (gt_mask.astype(bool)
+                 & (jnp.max(iou_per_gt, axis=2) > 0))     # (B, M)
+    claim_idx = jnp.where(gt_claims, gt_best_anchor, a)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    forced = jnp.zeros((b, a), bool).at[bidx, claim_idx].set(
+        True, mode="drop")
+    claimed_gt = jnp.zeros((b, a), jnp.int32).at[bidx, claim_idx].set(
+        jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m)),
+        mode="drop")
+    best_gt = jnp.where(forced, claimed_gt, best_gt)
+
+    positive = (best_iou >= pos_thr) | forced
+    negative = (best_iou < neg_thr) & ~positive
+
+    onehot = jax.nn.one_hot(best_gt, m, dtype=jnp.float32)  # (B, A, M)
+    matched_boxes = jnp.einsum("bam,bmc->bac", onehot, gt_boxes)
+    matched_cls = jnp.round(jnp.einsum(
+        "bam,bm->ba", onehot, gt_classes.astype(jnp.float32))
+    ).astype(jnp.int32)
+    reg_targets = encode_boxes(
+        matched_boxes.reshape(-1, 7),
+        jnp.broadcast_to(anchors[None], (b, a, 7)).reshape(-1, 7)
+    ).reshape(b, a, 7)
+    dir_targets = (jnp.mod(matched_boxes[..., 6], 2 * jnp.pi)
+                   < jnp.pi).astype(jnp.int32)
+
+    cls_targets = jnp.where(
+        positive, matched_cls + 1,
+        jnp.where(negative, 0, -1)).astype(jnp.int32)
+    return AssignResult(cls_targets, reg_targets, dir_targets, positive)
+
+
 @partial(jax.jit, static_argnames=("row_chunk",))
 def assign_targets(
     anchors: jax.Array,

@@ -90,7 +90,8 @@ class TestWindowedAssigner:
 
     def _both(self, pipeline, gt, gt_cls, gt_mask, window=32):
         from lisec_tpu.training.assigner import (
-            assign_targets, assign_targets_windowed)
+            assign_targets, assign_targets_windowed,
+            assign_targets_windowed_batched)
         args = (pipeline.anchors, pipeline.anchor_classes,
                 pipeline.pos_thr, pipeline.neg_thr)
         dense = assign_targets(*args, jnp.asarray(gt),
@@ -101,6 +102,30 @@ class TestWindowedAssigner:
             feature_map_size=pipeline.fmap,
             pc_range=tuple(pipeline.cfg.voxel.point_cloud_range),
             window=min(window, min(pipeline.fmap)))
+        # The batched sort+paint variant (the train-step hot path) must
+        # also match; run the frame twice in one batch to exercise the
+        # batch dim.
+        bat = assign_targets_windowed_batched(
+            *args, pipeline.class_sizes, pipeline.class_z,
+            jnp.asarray(np.stack([gt, gt])),
+            jnp.asarray(np.stack([gt_cls, gt_cls])),
+            jnp.asarray(np.stack([gt_mask, gt_mask])),
+            feature_map_size=pipeline.fmap,
+            pc_range=tuple(pipeline.cfg.voxel.point_cloud_range),
+            window=min(window, min(pipeline.fmap)))
+        for i in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(bat.positive[i]), np.asarray(win.positive))
+            np.testing.assert_array_equal(
+                np.asarray(bat.cls_targets[i]),
+                np.asarray(win.cls_targets))
+            pos = np.asarray(win.positive)
+            np.testing.assert_allclose(
+                np.asarray(bat.reg_targets[i])[pos],
+                np.asarray(win.reg_targets)[pos], atol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(bat.dir_targets[i])[pos],
+                np.asarray(win.dir_targets)[pos])
         return dense, win
 
     def _check(self, dense, win):
