@@ -140,6 +140,17 @@ def main():
         return sum(jnp.sum(x) for x in jax.tree.leaves(g))
     rec("enc_train_fwd_bwd", enc_fb, (jb["points"], jb["point_mask"]))
 
+    # whole-network TRAIN forward (encoder train path + backbone +
+    # head; no assigner, no losses): loss_fwd minus this minus the
+    # assigner is the loss/target-build glue.
+    def net_fwd(p, m):
+        out, _ = pipeline.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            p, m, train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(o.astype(jnp.float32))
+                   for o in jax.tree.leaves(out))
+    rec("net_fwd_train", net_fwd, (jb["points"], jb["point_mask"]))
+
     # the two Pallas stages of the train encoder, isolated
     from lisec_tpu.ops.pallas.pillar_paint import segment_paint
     from lisec_tpu.ops.pallas.unpaint import segment_unpaint

@@ -82,6 +82,86 @@ class AssignResult(NamedTuple):
     positive: jax.Array         # (A,) bool
 
 
+def _window_anchor_columns(
+    class_sizes: jax.Array,      # (C, 3)
+    class_z: jax.Array,          # (C,)
+    gt_boxes: jax.Array,         # (..., M, 7)
+    *,
+    feature_map_size: Tuple[int, int],
+    pc_range: Tuple[float, ...],
+    window: int,
+):
+    """Window-anchor boxes around each gt, built LANE-PACKED.
+
+    Returns (boxes (N, 7) f32 with N = prod(lead) * K, aidx lead+(K,)
+    int32 flat anchor index, kc (K,) static int32 class per slot,
+    K = window² * C * R). The round-1..3 form concatenated a rank-6
+    (M, w, w, C, R, 7) array whose last two dims (2, 7) tile-pad to
+    (8, 128) — a ~70x materialization bloat that cost ~13 of the
+    assigner's 22 ms (benchmarks/profile_assigner_iou.py: the flat
+    pair IoU itself is 5.4 ms). Here every column lives on a 2-D
+    lead+(K,) layout (K minor, lane-packed); the per-slot (y, x, class,
+    rot) decomposition of the flat window index is STATIC numpy, so
+    class-dependent columns are (K,)-constant one-hot matmuls, and the
+    only padded materialization is the final rank-2 (N, 7) stack.
+    """
+    ny, nx = feature_map_size
+    num_cls = class_sizes.shape[0]
+    num_rot = len(ROTATIONS)
+    w = window
+    k = w * w * num_cls * num_rot
+    step_x = (pc_range[3] - pc_range[0]) / nx
+    step_y = (pc_range[4] - pc_range[1]) / ny
+    lead = gt_boxes.shape[:-1]
+
+    gx = (gt_boxes[..., 0] - pc_range[0]) / step_x - 0.5
+    gy = (gt_boxes[..., 1] - pc_range[1]) / step_y - 0.5
+    gx0 = jnp.clip(jnp.round(gx).astype(jnp.int32) - w // 2, 0,
+                   max(nx - w, 0))                    # lead
+    gy0 = jnp.clip(jnp.round(gy).astype(jnp.int32) - w // 2, 0,
+                   max(ny - w, 0))
+
+    # Static per-slot decomposition: slot t -> (wy, wx, cls, rot).
+    t = np.arange(k)
+    ky = jnp.asarray((t // (w * num_cls * num_rot)).astype(np.int32))
+    kx = jnp.asarray(((t // (num_cls * num_rot)) % w).astype(np.int32))
+    kc_np = ((t // num_rot) % num_cls).astype(np.int32)
+    kr_np = (t % num_rot).astype(np.int32)
+    onehot_c = jnp.asarray(np.eye(num_cls, dtype=np.float32)[kc_np])
+    az_k = onehot_c @ class_z                         # (K,)
+    asz_k = onehot_c @ class_sizes                    # (K, 3)
+    rot_k = jnp.asarray(np.asarray(ROTATIONS, np.float32)[kr_np])
+
+    iy = gy0[..., None] + ky                          # lead + (K,)
+    ix = gx0[..., None] + kx
+    ax = pc_range[0] + (ix.astype(jnp.float32) + 0.5) * step_x
+    ay = pc_range[1] + (iy.astype(jnp.float32) + 0.5) * step_y
+    shape = lead + (k,)
+    n = int(np.prod(shape))
+    cols = (ax, ay, jnp.broadcast_to(az_k, shape),
+            jnp.broadcast_to(asz_k[:, 0], shape),
+            jnp.broadcast_to(asz_k[:, 1], shape),
+            jnp.broadcast_to(asz_k[:, 2], shape),
+            jnp.broadcast_to(rot_k, shape))
+    boxes = jnp.stack([c.reshape(n) for c in cols], axis=-1)   # (N, 7)
+    aidx = ((iy * nx + ix) * (num_cls * num_rot)
+            + jnp.asarray(kc_np) * num_rot + jnp.asarray(kr_np))
+    return boxes, aidx, jnp.asarray(kc_np)
+
+
+def _gt_columns(gt_boxes: jax.Array, k: int) -> jax.Array:
+    """gt boxes repeated per window slot, (N, 7), same lane-packed
+    construction as :func:`_window_anchor_columns` (a broadcast+reshape
+    of the rank-3 lead+(K, 7) form would relayout through the padded
+    trailing-7 tile)."""
+    lead = gt_boxes.shape[:-1]
+    shape = lead + (k,)
+    n = int(np.prod(shape))
+    return jnp.stack(
+        [jnp.broadcast_to(gt_boxes[..., c:c + 1], shape).reshape(n)
+         for c in range(7)], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("feature_map_size", "pc_range",
                                    "window"))
 def assign_targets_windowed(
@@ -126,68 +206,24 @@ def assign_targets_windowed(
     """
     a = anchors.shape[0]
     m = gt_boxes.shape[0]
-    ny, nx = feature_map_size
     num_cls = class_sizes.shape[0]
     num_rot = len(ROTATIONS)
-    r_per_cell = num_cls * num_rot
-    step_x = (pc_range[3] - pc_range[0]) / nx
-    step_y = (pc_range[4] - pc_range[1]) / ny
     w = window
+    k = w * w * num_cls * num_rot
 
-    # Window origin per gt, clamped so the window stays on the grid.
-    gx = (gt_boxes[:, 0] - pc_range[0]) / step_x - 0.5
-    gy = (gt_boxes[:, 1] - pc_range[1]) / step_y - 0.5
-    gx0 = jnp.clip(jnp.round(gx).astype(jnp.int32) - w // 2, 0,
-                   max(nx - w, 0))
-    gy0 = jnp.clip(jnp.round(gy).astype(jnp.int32) - w // 2, 0,
-                   max(ny - w, 0))
-
-    dy = jnp.arange(w, dtype=jnp.int32)
-    dx = jnp.arange(w, dtype=jnp.int32)
-    iy = gy0[:, None] + dy[None, :]                     # (M, w)
-    ix = gx0[:, None] + dx[None, :]                     # (M, w)
-
-    # Window anchors, arithmetically: (M, w, w, C, R, 7).
-    ax = (pc_range[0] + (ix.astype(jnp.float32) + 0.5) * step_x)
-    ay = (pc_range[1] + (iy.astype(jnp.float32) + 0.5) * step_y)
-    ax_b = jnp.broadcast_to(ax[:, None, :, None, None], (m, w, w, num_cls, num_rot))
-    ay_b = jnp.broadcast_to(ay[:, :, None, None, None], (m, w, w, num_cls, num_rot))
-    az = jnp.broadcast_to(class_z[None, None, None, :, None],
-                          (m, w, w, num_cls, num_rot))
-    asz = jnp.broadcast_to(class_sizes[None, None, None, :, None, :],
-                           (m, w, w, num_cls, num_rot, 3))
-    rot = jnp.asarray(ROTATIONS, jnp.float32)
-    arot = jnp.broadcast_to(rot[None, None, None, None, :],
-                            (m, w, w, num_cls, num_rot))
-    win_anchors = jnp.concatenate(
-        [jnp.stack([ax_b, ay_b, az], -1), asz, arot[..., None]], -1)
-
-    # Flatten the pair axes before the IoU: the polygon enumeration
-    # appends small geometry dims (4 corners, 24 candidates), and on a
-    # 7-D (M, w, w, C, R, ...) layout XLA pads every tiny trailing dim
-    # to full vector tiles (measured 353 ns/pair vs 7 ns/pair flat —
-    # 185 of the assigner's 203 ms).
-    kflat = w * w * num_cls * num_rot
-    gt_flat = jnp.broadcast_to(
-        gt_boxes[:, None, :], (m, kflat, 7)).reshape(m * kflat, 7)
-    iou = rotated_iou_bev(
-        win_anchors.reshape(m * kflat, 7), gt_flat)
-    iou = iou.reshape(m, w, w, num_cls, num_rot)        # (M, w, w, C, R)
-    cls_idx = jax.lax.broadcasted_iota(
-        jnp.int32, (m, w, w, num_cls, num_rot), 3)
-    pair_ok = (gt_mask.astype(bool)[:, None, None, None, None]
-               & (cls_idx == gt_classes[:, None, None, None, None]))
+    # Window anchors + flat pair IoU, all on lane-packed 2-D layouts
+    # (see _window_anchor_columns; the old rank-6 construction cost
+    # ~2.4x the IoU itself in padded-tile materializations).
+    win_boxes, aidx, kc = _window_anchor_columns(
+        class_sizes, class_z, gt_boxes,
+        feature_map_size=feature_map_size, pc_range=pc_range,
+        window=window)                    # (M*K, 7), (M, K), (K,)
+    iou = rotated_iou_bev(win_boxes, _gt_columns(gt_boxes, k))
+    iou = iou.reshape(m, k)
+    pair_ok = (gt_mask.astype(bool)[:, None]
+               & (kc[None, :] == gt_classes[:, None]))  # (M, K)
     iou = jnp.where(pair_ok, iou, -1.0)
 
-    # Global flat anchor index of each window slot ((y, x, cls, rot)
-    # layout matches generate_anchors).
-    rot_idx = jax.lax.broadcasted_iota(
-        jnp.int32, (m, w, w, num_cls, num_rot), 4)
-    aidx = ((iy[:, :, None, None, None] * nx
-             + ix[:, None, :, None, None]) * r_per_cell
-            + cls_idx * num_rot + rot_idx)              # (M, w, w, C, R)
-
-    k = w * w * num_cls * num_rot
     iou_f = iou.reshape(m * k)
     ok_f = pair_ok.reshape(m * k)
     aidx_f = jnp.where(ok_f, aidx.reshape(m * k), a)
@@ -277,56 +313,21 @@ def assign_targets_windowed_batched(
     """
     b, m = gt_boxes.shape[:2]
     a = anchors.shape[0]
-    ny, nx = feature_map_size
     num_cls = class_sizes.shape[0]
     num_rot = len(ROTATIONS)
-    r_per_cell = num_cls * num_rot
-    step_x = (pc_range[3] - pc_range[0]) / nx
-    step_y = (pc_range[4] - pc_range[1]) / ny
     w = window
-
-    gx = (gt_boxes[..., 0] - pc_range[0]) / step_x - 0.5
-    gy = (gt_boxes[..., 1] - pc_range[1]) / step_y - 0.5
-    gx0 = jnp.clip(jnp.round(gx).astype(jnp.int32) - w // 2, 0,
-                   max(nx - w, 0))                        # (B, M)
-    gy0 = jnp.clip(jnp.round(gy).astype(jnp.int32) - w // 2, 0,
-                   max(ny - w, 0))
-
-    dd = jnp.arange(w, dtype=jnp.int32)
-    iy = gy0[..., None] + dd                              # (B, M, w)
-    ix = gx0[..., None] + dd
-
-    shape = (b, m, w, w, num_cls, num_rot)
-    ax = pc_range[0] + (ix.astype(jnp.float32) + 0.5) * step_x
-    ay = pc_range[1] + (iy.astype(jnp.float32) + 0.5) * step_y
-    ax_b = jnp.broadcast_to(ax[:, :, None, :, None, None], shape)
-    ay_b = jnp.broadcast_to(ay[:, :, :, None, None, None], shape)
-    az = jnp.broadcast_to(class_z[None, None, None, None, :, None],
-                          shape)
-    asz = jnp.broadcast_to(
-        class_sizes[None, None, None, None, :, None, :], shape + (3,))
-    rot = jnp.asarray(ROTATIONS, jnp.float32)
-    arot = jnp.broadcast_to(rot[None, None, None, None, None, :], shape)
-    win_anchors = jnp.concatenate(
-        [jnp.stack([ax_b, ay_b, az], -1), asz, arot[..., None]], -1)
-
-    # Flat pair layout for the IoU (tiny trailing dims on a deep layout
-    # get tile-padded — see assign_targets_windowed).
     k = w * w * num_cls * num_rot
-    gt_flat = jnp.broadcast_to(
-        gt_boxes[:, :, None, :], (b, m, k, 7)).reshape(b * m * k, 7)
-    iou = rotated_iou_bev(win_anchors.reshape(b * m * k, 7), gt_flat)
-    iou = iou.reshape(shape) + 0.0          # -0.0 -> +0.0 (tie order)
 
-    cls_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 4)
-    pair_ok = (gt_mask.astype(bool)[:, :, None, None, None, None]
-               & (cls_idx == gt_classes[:, :, None, None, None, None]))
-    iou = jnp.where(pair_ok, iou, -1.0)
-
-    rot_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 5)
-    aidx = ((iy[:, :, :, None, None, None] * nx
-             + ix[:, :, None, :, None, None]) * r_per_cell
-            + cls_idx * num_rot + rot_idx)                # (B,M,w,w,C,R)
+    # Lane-packed window construction (see _window_anchor_columns).
+    win_boxes, aidx, kc = _window_anchor_columns(
+        class_sizes, class_z, gt_boxes,
+        feature_map_size=feature_map_size, pc_range=pc_range,
+        window=window)                # (B*M*K, 7), (B, M, K), (K,)
+    iou = rotated_iou_bev(win_boxes, _gt_columns(gt_boxes, k))
+    iou = iou.reshape(b, m, k) + 0.0        # -0.0 -> +0.0 (tie order)
+    pair_ok = (gt_mask.astype(bool)[:, :, None]
+               & (kc[None, None, :] == gt_classes[:, :, None]))
+    iou = jnp.where(pair_ok, iou, -1.0)     # (B, M, K)
 
     mk = m * k
     iou_f = iou.reshape(b, mk)
