@@ -90,6 +90,14 @@ def main():
         return jnp.sum(out)
     rec("rulebook_subm_L0", rb, (coords.astype(jnp.float32),))
 
+    from lisec_tpu.ops.sparse_conv import build_subm_scatter_rulebook
+
+    def rbm(c):
+        c = c.astype(jnp.int32)
+        out = build_subm_scatter_rulebook(c, num_vox, subm)
+        return jnp.sum(out)
+    rec("rulebook_subm_L0_mirror", rbm, (coords.astype(jnp.float32),))
+
     def oc(c):
         c = c.astype(jnp.int32)
         o, n = jax.vmap(lambda cc, nn: build_output_coords(
@@ -106,6 +114,26 @@ def main():
                        preferred_element_type=jnp.float32)
         return jnp.sum(z.astype(jnp.bfloat16).astype(jnp.float32))
     rec("einsum_c64_v16384", ein, (x64, w64))
+
+    # Middle encoder alone (the real module, current config).
+    from lisec_tpu.models.second import SparseMiddleEncoder
+
+    p = cfg.model.params
+    mdtype = jnp.dtype(p.get("dtype", "float32"))
+    enc = SparseMiddleEncoder(
+        grid=grid, channels=tuple(p["encoder_channels"]),
+        level_budgets=tuple(p["level_budgets"]),
+        dense_from_level=int(p.get("dense_from_level", 2)),
+        dtype=mdtype)
+    evars = enc.init(jax.random.PRNGKey(0), feats.astype(mdtype),
+                     v.coords.astype(jnp.int32), num_vox)
+
+    def enc_fn(f, cc, n):
+        out = enc.apply(evars, f.astype(mdtype), cc.astype(jnp.int32),
+                        n, train=False)
+        return jnp.sum(out.astype(jnp.float32))
+    rec("middle_encoder", enc_fn,
+        (feats.astype(jnp.float32), coords.astype(jnp.float32), num_vox))
 
     # Network forward (mean-VFE + middle encoder + BEV + head),
     # voxelization excluded.

@@ -75,18 +75,83 @@ class SparseConv3D(nn.Module):
         return jnp.where(valid[..., None], y, 0.0)
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics are computed over ACTIVE
+    positions only — the dense-grid equivalent of normalizing over a
+    sparse voxel list. ``mask`` broadcasts against ``x[..., :1]``."""
+
+    momentum: float = 0.99
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        if train:
+            m = jnp.broadcast_to(
+                mask.astype(jnp.float32), x.shape[:-1] + (1,))
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            x32 = x.astype(jnp.float32) * m
+            red = tuple(range(x.ndim - 1))
+            mu = jnp.sum(x32, axis=red) / cnt
+            var = jnp.maximum(
+                jnp.sum(x32 * x32, axis=red) / cnt - mu * mu, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mu)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        else:
+            mu, var = ra_mean.value, ra_var.value
+        s = scale * jax.lax.rsqrt(var + self.eps)
+        t = bias - s * mu
+        return (x.astype(jnp.float32) * s + t).astype(x.dtype)
+
+
 class SparseMiddleEncoder(nn.Module):
     """Submanifold + strided sparse conv stack, 8x downsample, then
-    flatten-z scatter to a dense BEV canvas.
+    flatten-z to a dense BEV canvas.
 
     grid: (nz, ny, nx) of the input voxel grid. Per-level voxel budgets
     are static. Channels follow the canonical 16/32/64/64 progression.
+
+    ``dense_from_level`` switches levels >= it to a DENSE tail: the
+    strided conv INTO level d still runs sparse (its budget should
+    cover the true active count — see below), its output list is
+    scattered onto the level-d dense grid together with an active-set
+    indicator, and every later conv runs as a dense MXU conv with an
+    active-set mask (exact submanifold semantics: conv -> masked BN ->
+    relu -> zero outside the active set; for deeper strided convs the
+    active set propagates by 3^3-window max-pool dilation, which is
+    precisely the touched set). Measured rationale (round 4,
+    benchmarks/profile_second_budgets.py): the stride-2 3^3 downsample
+    DILATES a sparse active set — on KITTI-geometry fixtures 6.4k
+    input voxels become 19.5k/24.9k/17.8k true actives at levels
+    1/2/3, so (a) the old per-level budgets silently truncated 18-68%
+    of active cells (with a spatial bias toward low cell ids), and
+    (b) by level 2-3 the grid is 7-40% occupied — sparse machinery
+    costs more than the dense conv it avoids (the same arithmetic as
+    docs/SPARSITY.md). Dense from level 2 keeps the genuinely sparse
+    levels (0.03-0.6% occupancy) on the rulebook+spread path and hands
+    the rest to the MXU with no truncation beyond the level-d budget
+    (size it at the data's p95 — 26624 covers the KITTI-geometry
+    fixtures with margin; the level-2 grid canvas is ~90 MB/frame so
+    densifying earlier would not fit HBM at training batch sizes).
     """
 
     grid: Tuple[int, int, int]
     channels: Sequence[int] = (16, 32, 64, 64)
     level_budgets: Sequence[int] = (16000, 16000, 12000, 8000)
     subm_per_level: int = 2
+    dense_from_level: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,6 +161,8 @@ class SparseMiddleEncoder(nn.Module):
         b, v, _ = feats.shape
         grid = tuple(self.grid)
         valid = jnp.arange(v)[None, :] < num_voxels[:, None]
+        n_levels = len(self.channels)
+        dense_from = min(max(self.dense_from_level, 1), n_levels)
 
         def subm_spec(g):
             return SparseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1), g)
@@ -105,15 +172,26 @@ class SparseMiddleEncoder(nn.Module):
 
         x = feats
         cur_coords, cur_num, cur_valid = coords, num_voxels, valid
-        # One static size for every conv in the stack -> one shared
-        # Pallas kernel compile (see sparse_conv3d_spread pad_to).
-        pad_v = max([v] + [int(bgt) for bgt in self.level_budgets])
+        # One static size for the level-0..(d-1) sparse convs -> one
+        # shared Pallas kernel compile (see sparse_conv3d_spread
+        # pad_to); the strided conv into the first dense level gets its
+        # own (bigger-budget, wider-channel) shape. With the dense tail
+        # the shared channel pad drops to the sparse levels' max (32
+        # instead of 64 on the canonical progression — the spread
+        # streams' HBM traffic scales with it).
+        pad_v = max([v] + [int(bgt)
+                           for bgt in self.level_budgets[:dense_from]])
         pad_v = -(-pad_v // 2048) * 2048
-        pad_c = max(self.channels)
+        pad_c = max(self.channels[:dense_from])
 
-        for level, ch in enumerate(self.channels):
+        for level in range(dense_from):
+            ch = self.channels[level]
             # Submanifold convs at this resolution (out set = in set).
             spec = subm_spec(grid)
+            # (A half-merge subm builder deriving mirror offsets by
+            # paint-inversion measured 18.0 vs 10.9 ms — the 8-lane
+            # inversion paint costs more than the 13 saved merges; see
+            # docs/ROUND4_NOTES.md and git history for the variant.)
             srb = build_scatter_rulebook(
                 cur_coords, cur_num, cur_coords, cur_num, spec)
             for _ in range(self.subm_per_level):
@@ -121,10 +199,13 @@ class SparseMiddleEncoder(nn.Module):
                                  pad_to=pad_v, pad_c=pad_c)(
                     x, srb, cur_valid, train)
 
-            if level < len(self.channels) - 1:
-                # Strided downsample to the next level's active set.
+            if level < n_levels - 1:
+                # Strided downsample to the next level's active set
+                # (sparse even when the next level is dense — the
+                # pre-downsample grid's dense canvas would not fit HBM).
                 dspec = down_spec(grid)
                 budget = int(self.level_budgets[level + 1])
+                last_sparse = level + 1 == dense_from
                 out_coords, out_num = jax.vmap(
                     lambda c, n: build_output_coords(
                         c, n, dspec, max_out=budget))(cur_coords, cur_num)
@@ -134,29 +215,66 @@ class SparseMiddleEncoder(nn.Module):
                              < out_num[:, None])
                 x = SparseConv3D(
                     self.channels[level + 1], dspec.num_offsets,
-                    self.dtype, pad_to=pad_v, pad_c=pad_c)(
+                    self.dtype,
+                    pad_to=(0 if last_sparse else pad_v),
+                    pad_c=(0 if last_sparse else pad_c))(
                     x, dsrb, out_valid, train)
                 cur_coords, cur_num, cur_valid = (
                     out_coords, out_num, out_valid)
                 grid = dspec.grid_out
 
-        # Flatten z into channels on a dense BEV canvas:
-        # (B, V, C) + coords -> (B, ny', nx', nz' * C).
+        # Densify the (now current) level: route the sorted unique-cell
+        # voxel list onto its dense grid with the slab-paint kernel
+        # (differentiable; the XLA row-scatter this replaces measured
+        # ~800 ns/row = 22 ms/batch-4 on the level-2 grid). The paint's
+        # count channel doubles as the active-set indicator.
+        from lisec_tpu.ops.scatter import segment_sum_dense
+
         nz, ny, nx = grid
-        c_last = x.shape[-1]
+        c_cur = x.shape[-1]
         lin = (cur_coords[..., 0] * ny + cur_coords[..., 1]) * nx \
             + cur_coords[..., 2]
         lin = jnp.where(cur_valid, lin, nz * ny * nx)
+        interpret = jax.devices()[0].platform != "tpu"
+        tab, cnt = segment_sum_dense(x, lin, nz * ny * nx, interpret)
+        x = tab.reshape(b, nz, ny, nx, c_cur).astype(self.dtype)
+        active = (cnt > 0).reshape(b, nz, ny, nx, 1).astype(self.dtype)
 
-        def scatter_one(xi, li):
-            canvas = jnp.zeros((nz * ny * nx + 1, c_last), xi.dtype)
-            return canvas.at[li].set(xi, mode="drop")[:-1]
+        def dilate_pool(a):
+            # Touched set of a k3/s2/p1 strided conv == 3^3 max-pool.
+            return nn.max_pool(a, (3, 3, 3), strides=(2, 2, 2),
+                               padding=((1, 1), (1, 1), (1, 1)))
 
-        dense = jax.vmap(scatter_one)(x, lin)        # (B, nz*ny*nx, C)
-        dense = dense.reshape(b, nz, ny, nx, c_last)
-        dense = dense.transpose(0, 2, 3, 1, 4).reshape(
-            b, ny, nx, nz * c_last)
-        return dense
+        def dense_conv(h, ch, stride):
+            return nn.Conv(
+                ch, (3, 3, 3), strides=(stride,) * 3,
+                padding=((1, 1), (1, 1), (1, 1)), use_bias=False,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.variance_scaling(
+                    2.0, "fan_in", "truncated_normal"))(h)
+
+        for level in range(dense_from, n_levels):
+            ch = self.channels[level]
+            if level > dense_from:
+                # Dense strided conv into this level; zero input cells
+                # contribute nothing, so the result equals the sparse
+                # regular conv on the UNTRUNCATED active set.
+                x = dense_conv(x, ch, 2)
+                active = dilate_pool(active)
+                x = nn.relu(MaskedBatchNorm()(x, active, train))
+                x = x * active.astype(x.dtype)
+                nz, ny, nx = [(g + 2 - 3) // 2 + 1
+                              for g in (nz, ny, nx)]
+            for _ in range(self.subm_per_level):
+                h = dense_conv(x, ch, 1)
+                h = nn.relu(MaskedBatchNorm()(h, active, train))
+                x = h * active.astype(h.dtype)    # submanifold: out=in set
+
+        # Flatten z into channels: (B, nz', ny', nx', C) ->
+        # (B, ny', nx', nz' * C).
+        c_last = x.shape[-1]
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b, ny, nx, nz * c_last)
+        return x
 
 
 class SECONDNet(nn.Module):
@@ -167,6 +285,7 @@ class SECONDNet(nn.Module):
     num_anchors_per_cell: int
     level_budgets: Sequence[int] = (16000, 16000, 12000, 8000)
     encoder_channels: Sequence[int] = (16, 32, 64, 64)
+    dense_from_level: int = 2
     bev_layers: Sequence[int] = (5, 5)
     bev_filters: Sequence[int] = (128, 256)
     bev_strides: Sequence[int] = (1, 2)
@@ -183,6 +302,7 @@ class SECONDNet(nn.Module):
             grid=(nz, ny, nx),
             channels=tuple(self.encoder_channels),
             level_budgets=tuple(self.level_budgets),
+            dense_from_level=self.dense_from_level,
             dtype=self.dtype)(feats, coords, num_voxels, train)
         bev = BEVBackbone(
             layer_nums=tuple(self.bev_layers),

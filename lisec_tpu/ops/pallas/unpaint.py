@@ -145,10 +145,19 @@ def segment_unpaint(
     written; out-of-range cells route a zero one-hot).
     """
     b, r, c = table.shape
-    # Channel width is a parameter (sublane multiple): DMA and VMEM
-    # cost scale with it; the routing matmul's lane tile does not.
     assert c % 8 == 0 and 8 <= c <= LANES, \
         f"table channels must be a multiple of 8 in [8, {LANES}], got {c}"
+    # Unlike the paint kernel (channels on SUBLANES), the unpaint's
+    # per-point output rows put channels on the LANE dim, and Mosaic
+    # cannot DMA-slice a <128-lane window out of a 128-lane tile
+    # (measured round 4: chans=64 fails to compile). Pad the table to
+    # the full lane tile and slice the result — the narrow-width API
+    # stands, the kernel always runs 128 lanes.
+    c_in = c
+    if c < LANES:
+        table = jnp.concatenate(
+            [table, jnp.zeros((b, r, LANES - c), table.dtype)], axis=-1)
+        c = LANES
     n = cell_sorted.shape[1]
     num_slabs = -(-r // slab)
     padded_rows = num_slabs * slab
@@ -220,4 +229,4 @@ def segment_unpaint(
     rows = jnp.take_along_axis(table, cells[:, :, None], axis=1)
     tgt = jnp.where(valid, posf, npad + window)              # drop slot
     out = out.at[jnp.arange(b)[:, None], tgt].set(rows, mode="drop")
-    return out[:, :n]
+    return out[:, :n, :c_in]

@@ -184,6 +184,76 @@ def build_rulebook(
 
 
 @partial(jax.jit, static_argnames=("spec",))
+def build_subm_scatter_rulebook(
+    coords: jax.Array,         # (B, V, 3) int32 [z,y,x] sorted
+    num: jax.Array,            # (B,)
+    spec: SparseConvSpec,
+) -> jax.Array:
+    """Submanifold (out set == in set, stride 1) scatter rulebook with
+    HALF the merge sorts of the general builder.
+
+    Three structural facts of the k^3 stride-1 self-rulebook (round 4):
+      * the center offset is the IDENTITY map;
+      * offset k and its point-mirror K-1-k are INVERSE partial
+        permutations of each other: input i feeds output o under k
+        iff cell[o] = cell[i] + (pad - off_k), and the mirror negates
+        the shift;
+      * each offset's map is MONOTONE over its valid entries (adding a
+        constant cell shift preserves sort order), so the inverse is a
+        1-channel slab-paint (route i to row out_of[i]) — no extra
+        merge sort.
+    So only offsets 0..K//2-1 go through the tag-merge; the rest come
+    from one batched paint + arithmetic.
+
+    MEASURED NEGATIVE (round 4, same-session A/B at KITTI L0 geometry,
+    benchmarks/profile_second.py): 18.0 ms vs 10.9 ms for the
+    27-merge general builder — the 8-lane inversion paint's window
+    scans waste 15/16 of every vreg (narrow-lane pathology, docs/
+    ARCHITECTURE.md lesson #7) and cost more than the 13 saved merge
+    sorts. Kept as the reference implementation of the mirror-inverse
+    identity (equality-tested vs the general builder); the encoder
+    uses build_scatter_rulebook.
+    """
+    from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+
+    b, v, _ = coords.shape
+    k = spec.num_offsets
+    assert k % 2 == 1, "submanifold kernel must have odd tap count"
+    half = k // 2
+    first = _scatter_rulebook_offsets(
+        coords, num, coords, num, spec, tuple(range(half)))  # (B,half,V)
+
+    ident = jnp.where(jnp.arange(v)[None] < num[:, None],
+                      jnp.arange(v, dtype=jnp.int32)[None], -1)
+
+    # Invert each of the first-half maps with a paint: vals carry the
+    # source index (+1 so 0 means "no source"), routed to row
+    # out_of[i]; invalid rows are zeroed and their targets monotonized
+    # (a zero sum lands harmlessly on an earlier row).
+    flat = first.reshape(b * half, v)
+    validf = flat >= 0
+    src = jnp.where(
+        validf, jnp.arange(v, dtype=jnp.float32)[None] + 1.0, 0.0)
+    tgt = jnp.maximum(jax.lax.cummax(flat, axis=1), 0)
+    width = 8
+    vals = jnp.concatenate(
+        [src[..., None], jnp.zeros((b * half, v, width - 2)),
+         jnp.ones((b * half, v, 1))], axis=-1)
+    interpret = jax.devices()[0].platform != "tpu"
+    tab = segment_paint(
+        vals.astype(jnp.float32), tgt, num_cells=v, num_max=0,
+        count_channel=width - 1, slab=2048, window=512,
+        interpret=interpret, exact=True)
+    inv = (jnp.round(tab[..., 0]).astype(jnp.int32) - 1).reshape(
+        b, half, v)                                   # -1 where empty
+    # Full-K order: [0..half-1 direct, center identity, then the
+    # mirrors — offset K-1-m for m in half+1..K-1 is the inverse of
+    # offset K-1-m, i.e. the inverses in REVERSED offset order].
+    return jnp.concatenate(
+        [first, ident[:, None], jnp.flip(inv, axis=1)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("spec",))
 def build_scatter_rulebook(
     coords_in: jax.Array,      # (B, V_in, 3) int32 [z,y,x] sorted
     num_in: jax.Array,         # (B,)
@@ -204,6 +274,20 @@ def build_scatter_rulebook(
     query per cell). One batched `lax.sort` call handles all (B, K)
     rows. An inverse 2-key sort returns results in input order.
     """
+    return _scatter_rulebook_offsets(
+        coords_in, num_in, coords_out, num_out, spec,
+        tuple(range(spec.num_offsets)))
+
+
+@partial(jax.jit, static_argnames=("spec", "offs_idx"))
+def _scatter_rulebook_offsets(
+    coords_in, num_in, coords_out, num_out, spec: SparseConvSpec,
+    offs_idx: Tuple[int, ...],
+) -> jax.Array:
+    """Tag-merge scatter rulebook restricted to a static subset of
+    kernel offsets (see build_scatter_rulebook for the algorithm;
+    build_subm_scatter_rulebook derives the other half of a subm
+    rulebook from this subset by inversion)."""
     b, v_in, _ = coords_in.shape
     v_out = coords_out.shape[1]
     go = spec.grid_out
@@ -220,8 +304,8 @@ def build_scatter_rulebook(
     lin_out = jnp.where(
         jnp.arange(v_out)[None] < num_out[:, None], lin_out, n_out_cells)
 
-    offs = spec.offsets()                               # (K, 3)
-    k = offs.shape[0]
+    offs = spec.offsets()[jnp.asarray(offs_idx)]        # (K', 3)
+    k = len(offs_idx)
     stride = jnp.array(spec.stride, jnp.int32)
     pad = jnp.array(spec.padding, jnp.int32)
 

@@ -350,6 +350,7 @@ class SECONDPipeline(PointPillarsPipeline):
             grid_size=self.grid,
             num_anchors_per_cell=self.num_classes * 2,
             level_budgets=budgets,
+            dense_from_level=int(p.get("dense_from_level", 2)),
             encoder_channels=tuple(p.get("encoder_channels",
                                          [16, 32, 64, 64])),
             bev_layers=tuple(p.get("bev_layers", [5, 5])),

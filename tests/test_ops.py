@@ -690,6 +690,24 @@ class TestScatterRulebookSpread:
         self._compare(rng, spec,
                       lambda c, n, s: (c, n))
 
+    def test_subm_mirror_builder_equals_general(self, rng):
+        """build_subm_scatter_rulebook (13 merges + identity center +
+        paint-inverted mirrors) must equal the 27-merge general
+        builder, including ragged valid counts."""
+        from lisec_tpu.ops.sparse_conv import build_subm_scatter_rulebook
+        spec = ops.SparseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1),
+                                  self.GRID)
+        b, v = 3, 64
+        n_act = [40, 17, 64]
+        coords = np.stack([self._coords(rng, v, n) for n in n_act])
+        nums = np.asarray(n_act, np.int32)
+        want = np.asarray(ops.build_scatter_rulebook(
+            jnp.asarray(coords), jnp.asarray(nums),
+            jnp.asarray(coords), jnp.asarray(nums), spec))
+        got = np.asarray(build_subm_scatter_rulebook(
+            jnp.asarray(coords), jnp.asarray(nums), spec))
+        np.testing.assert_array_equal(got, want)
+
     def test_strided(self, rng):
         spec = ops.SparseConvSpec((3, 3, 3), (2, 2, 2), (1, 1, 1),
                                   self.GRID)

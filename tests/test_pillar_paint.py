@@ -235,6 +235,44 @@ class TestSegmentMaxSorted:
                                    atol=1e-4)
 
 
+class TestSegmentSumDense:
+    def test_value_and_grad_vs_xla(self, rng):
+        """The SECOND densify (paint fwd / unpaint-gather bwd) against
+        the XLA row-scatter it replaced — unique sorted cells, value
+        and gradient."""
+        from lisec_tpu.ops.scatter import segment_sum_dense
+        b, n, c, nc = 2, 256, 16, 600
+        cells = np.stack([
+            np.sort(rng.choice(nc, n, replace=False)) for _ in range(b)
+        ]).astype(np.int32)
+        cells[:, -40:] = nc          # invalid tail
+        h = rng.normal(size=(b, n, c)).astype(np.float32)
+
+        def pallas_sum(hh):
+            tab, cnt = segment_sum_dense(hh, jnp.asarray(cells), nc, True)
+            return jnp.sum(tab * jnp.arange(c)), (tab, cnt)
+
+        def xla_sum(hh):
+            idx = jnp.asarray(cells)
+
+            def one(hb, ib):
+                return jnp.zeros((nc + 1, c)).at[ib].add(
+                    hb, mode="drop")[:nc]
+            tab = jax.vmap(one)(hh, idx)
+            return jnp.sum(tab * jnp.arange(c)), tab
+
+        (lp, (tp, cntp)), gp = jax.value_and_grad(
+            pallas_sum, has_aux=True)(jnp.asarray(h))
+        (lx, tx), gx = jax.value_and_grad(
+            xla_sum, has_aux=True)(jnp.asarray(h))
+        np.testing.assert_allclose(np.asarray(tp), np.asarray(tx),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   atol=1e-4)
+        # count channel: 1 at every valid painted cell
+        assert float(jnp.sum(cntp)) == float(b * (n - 40))
+
+
 class TestTrainPallasPath:
     def test_train_matches_reference(self, rng):
         from lisec_tpu.models.pillar_encoder import FusedPillarEncoder

@@ -172,3 +172,113 @@ class TestSparseMiddleEncoderOracle:
 
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestDenseTailOracle(TestSparseMiddleEncoderOracle):
+    """Dense-tail encoder (dense_from_level=1) vs the same dense numpy
+    replica: level 0 and the strided downsample stay sparse (budget
+    truncation applies at the boundary, exercised on purpose), then
+    the level-1 submanifold convs run as dense masked convs — inactive
+    cells stay exactly zero and BN statistics come from active cells
+    only (inference mode: same affine as list BN)."""
+
+    def _model(self):
+        from lisec_tpu.models.second import SparseMiddleEncoder
+        import jax.numpy as jnp
+        return SparseMiddleEncoder(
+            grid=self.GRID, channels=self.CHANNELS,
+            level_budgets=self.BUDGETS, subm_per_level=2,
+            dense_from_level=1, dtype=jnp.float32)
+
+    def test_matches_dense_oracle(self, rng):
+        import jax.numpy as jnp
+
+        model = self._model()
+        feats, coords, num = self._inputs(rng)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                               jnp.asarray(coords), jnp.asarray(num))
+        params = jax.device_get(variables["params"])
+        bstats = jax.device_get(variables["batch_stats"])
+        # Non-trivial BN stats/params for every conv (sparse + dense).
+        for key in params:
+            bn = ("BatchNorm_0" if key.startswith("SparseConv3D")
+                  else None)
+            tgt_s = params[key][bn] if bn else params[key]
+            tgt_b = bstats[key][bn] if bn else bstats.get(key)
+            if "mean" not in (tgt_b or {}):
+                continue
+            tgt_b["mean"] = rng.normal(
+                size=tgt_b["mean"].shape).astype(np.float32) * 0.1
+            tgt_b["var"] = (1.0 + rng.random(
+                tgt_b["var"].shape)).astype(np.float32)
+            tgt_s["bias"] = rng.normal(
+                size=tgt_s["bias"].shape).astype(np.float32) * 0.1
+
+        got = np.asarray(model.apply(
+            {"params": params, "batch_stats": bstats},
+            jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(num),
+            train=False))[0]
+
+        nz, ny, nx = self.GRID
+        nact = int(num[0])
+        active = [tuple(c) for c in coords[0, :nact]]
+        table = {c: feats[0, i] for i, c in enumerate(active)}
+
+        def sparse_conv_i(i, table, active_set, stride, grid_in,
+                          active_out):
+            p = params[f"SparseConv3D_{i}"]
+            b = bstats[f"SparseConv3D_{i}"]["BatchNorm_0"]
+            w = np.asarray(p["kernel"], np.float32)
+            y = self._dense_conv(table, set(active_set), w, stride,
+                                 grid_in, active_out)
+            return self._bn_relu(
+                y, np.asarray(p["BatchNorm_0"]["scale"]),
+                np.asarray(p["BatchNorm_0"]["bias"]),
+                b["mean"], b["var"])
+
+        def dense_conv_i(i, table, active_in, stride, grid_in,
+                         active_out):
+            p = params[f"Conv_{i}"]
+            bnp = params[f"MaskedBatchNorm_{i}"]
+            bnb = bstats[f"MaskedBatchNorm_{i}"]
+            w = np.asarray(p["kernel"], np.float32).reshape(
+                27, *p["kernel"].shape[-2:])       # (kz,ky,kx) row-major
+            y = self._dense_conv(table, set(active_in), w, stride,
+                                 grid_in, active_out)
+            return self._bn_relu(
+                y, np.asarray(bnp["scale"]), np.asarray(bnp["bias"]),
+                bnb["mean"], bnb["var"])
+
+        # Level 0 sparse: two submanifold convs + the sparse strided
+        # downsample (budget truncation at the boundary, as in the
+        # fully-sparse oracle).
+        table = sparse_conv_i(0, table, active, 1, self.GRID, active)
+        table = sparse_conv_i(1, table, active, 1, self.GRID, active)
+
+        go = tuple((g + 2 - 3) // 2 + 1 for g in self.GRID)
+        outs = set()
+        for (z, y, x) in active:
+            for oz in range(3):
+                for oy in range(3):
+                    for ox in range(3):
+                        t = (z + 1 - oz, y + 1 - oy, x + 1 - ox)
+                        if all(c % 2 == 0 for c in t):
+                            o = tuple(c // 2 for c in t)
+                            if all(0 <= o[d] < go[d] for d in range(3)):
+                                outs.add(o)
+        outs = sorted(outs, key=lambda c: (c[0] * go[1] + c[1]) * go[2]
+                      + c[2])[:self.BUDGETS[1]]
+        table = sparse_conv_i(2, table, active, 2, self.GRID, outs)
+
+        # Dense tail: the two level-1 submanifold convs as dense
+        # masked convs.
+        table = dense_conv_i(0, table, outs, 1, go, outs)
+        table = dense_conv_i(1, table, outs, 1, go, outs)
+
+        c_last = self.CHANNELS[-1]
+        want = np.zeros((go[1], go[2], go[0] * c_last), np.float32)
+        for (z, y, x), val in table.items():
+            want[y, x, z * c_last:(z + 1) * c_last] = val
+
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
