@@ -60,3 +60,18 @@ def test_pointpillars_golden():
 def test_rangeseg_golden():
     out = _infer_outputs("configs/rangeseg_tiny.yaml")
     _check_or_regen("rangeseg_tiny", out, ["labels"])
+
+
+def test_second_golden():
+    out = _infer_outputs("configs/second_tiny.yaml")
+    _check_or_regen("second_tiny", out, ["boxes", "scores", "labels"])
+
+
+def test_partseg_golden():
+    out = _infer_outputs("configs/pointnet2_partseg_tiny.yaml")
+    _check_or_regen("pointnet2_partseg_tiny", out, ["labels"])
+
+
+def test_pointnet_cls_golden():
+    out = _infer_outputs("configs/pointnet_modelnet40_tiny.yaml")
+    _check_or_regen("pointnet_cls_tiny", out, ["labels", "logits"])
