@@ -145,11 +145,21 @@ class SparseMiddleEncoder(nn.Module):
     (size it at the data's p95 — 26624 covers the KITTI-geometry
     fixtures with margin; the level-2 grid canvas is ~90 MB/frame so
     densifying earlier would not fit HBM at training batch sizes).
+
+    Budget truncation is NOT spatially neutral: compaction keeps the
+    lowest linearized cell ids, and cell id = z*ny*nx + ..., so an
+    undersized budget drops the HIGHEST z-layers wholesale (measured:
+    at the old L2 default 12000 vs ~24.9k true actives, kept z-layers
+    2-4, dropped 4-8 — the entire top of every car, which is where the
+    front/back height-asymmetry heading cue lives; the direction
+    classifier's CE stayed pinned at ln 2 for 7k convergence steps
+    until the budgets were raised). Defaults below are the fixture
+    p95 rounded up to lane multiples.
     """
 
     grid: Tuple[int, int, int]
     channels: Sequence[int] = (16, 32, 64, 64)
-    level_budgets: Sequence[int] = (16000, 16000, 12000, 8000)
+    level_budgets: Sequence[int] = (16000, 20480, 26624, 18432)
     subm_per_level: int = 2
     dense_from_level: int = 2
     dtype: jnp.dtype = jnp.float32
@@ -283,7 +293,7 @@ class SECONDNet(nn.Module):
     num_classes: int
     grid_size: Tuple[int, int, int]            # (nx, ny, nz) voxel grid
     num_anchors_per_cell: int
-    level_budgets: Sequence[int] = (16000, 16000, 12000, 8000)
+    level_budgets: Sequence[int] = (16000, 20480, 26624, 18432)
     encoder_channels: Sequence[int] = (16, 32, 64, 64)
     dense_from_level: int = 2
     bev_layers: Sequence[int] = (5, 5)
