@@ -29,7 +29,8 @@ from flax import linen as nn
 from lisec_tpu.models.common import ConvBNRelu
 from lisec_tpu.models.pointpillars import AnchorHead, BEVBackbone
 from lisec_tpu.ops.sparse_conv import (
-    SparseConvSpec, build_output_coords, build_scatter_rulebook)
+    SparseConvSpec, build_footprint_coords, build_output_coords,
+    build_scatter_rulebook)
 
 
 def mean_vfe(voxels: jax.Array, num_points: jax.Array) -> jax.Array:
@@ -162,6 +163,7 @@ class SparseMiddleEncoder(nn.Module):
     level_budgets: Sequence[int] = (16000, 20480, 26624, 18432)
     subm_per_level: int = 2
     dense_from_level: int = 2
+    downsample: str = "dilate"         # "dilate" | "footprint"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -216,8 +218,15 @@ class SparseMiddleEncoder(nn.Module):
                 dspec = down_spec(grid)
                 budget = int(self.level_budgets[level + 1])
                 last_sparse = level + 1 == dense_from
+                # "footprint" restricts the strided conv's output set
+                # to cells whose 2x2x2 input footprint is occupied
+                # (sparsity retention: |out| <= |in| instead of the
+                # 3-4x 3^3 dilation) — see build_footprint_coords.
+                build = (build_footprint_coords
+                         if self.downsample == "footprint"
+                         else build_output_coords)
                 out_coords, out_num = jax.vmap(
-                    lambda c, n: build_output_coords(
+                    lambda c, n: build(
                         c, n, dspec, max_out=budget))(cur_coords, cur_num)
                 dsrb = build_scatter_rulebook(
                     cur_coords, cur_num, out_coords, out_num, dspec)
@@ -252,6 +261,14 @@ class SparseMiddleEncoder(nn.Module):
 
         def dilate_pool(a):
             # Touched set of a k3/s2/p1 strided conv == 3^3 max-pool.
+            if self.downsample == "footprint":
+                # Footprint mode: active iff the 2x2x2 input footprint
+                # is occupied (pad high edges when the grid is odd —
+                # the conv output size is ceil(g/2)).
+                pads = tuple((0, (g + 1) // 2 * 2 - g)
+                             for g in a.shape[1:4])
+                return nn.max_pool(a, (2, 2, 2), strides=(2, 2, 2),
+                                   padding=pads)
             return nn.max_pool(a, (3, 3, 3), strides=(2, 2, 2),
                                padding=((1, 1), (1, 1), (1, 1)))
 
@@ -301,6 +318,7 @@ class SECONDNet(nn.Module):
     bev_strides: Sequence[int] = (1, 2)
     bev_up_strides: Sequence[int] = (1, 2)
     bev_up_filters: Sequence[int] = (256, 256)
+    downsample: str = "dilate"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -313,6 +331,7 @@ class SECONDNet(nn.Module):
             channels=tuple(self.encoder_channels),
             level_budgets=tuple(self.level_budgets),
             dense_from_level=self.dense_from_level,
+            downsample=self.downsample,
             dtype=self.dtype)(feats, coords, num_voxels, train)
         bev = BEVBackbone(
             layer_nums=tuple(self.bev_layers),

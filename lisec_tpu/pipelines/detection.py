@@ -351,6 +351,7 @@ class SECONDPipeline(PointPillarsPipeline):
             num_anchors_per_cell=self.num_classes * 2,
             level_budgets=budgets,
             dense_from_level=int(p.get("dense_from_level", 2)),
+            downsample=str(p.get("downsample", "dilate")),
             encoder_channels=tuple(p.get("encoder_channels",
                                          [16, 32, 64, 64])),
             bev_layers=tuple(p.get("bev_layers", [5, 5])),

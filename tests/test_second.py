@@ -87,6 +87,22 @@ class TestSparseMiddleEncoderOracle:
             out[tuple(o)] = acc
         return out
 
+    def _strided_outs(self, active, go):
+        """Dilated (canonical) active output set of the k3/s2/p1 conv:
+        every output any input reaches, sorted by cell id, budget-capped."""
+        outs = set()
+        for (z, y, x) in active:
+            for oz in range(3):
+                for oy in range(3):
+                    for ox in range(3):
+                        t = (z + 1 - oz, y + 1 - oy, x + 1 - ox)
+                        if all(c % 2 == 0 for c in t):
+                            o = tuple(c // 2 for c in t)
+                            if all(0 <= o[d] < go[d] for d in range(3)):
+                                outs.add(o)
+        return sorted(outs, key=lambda c: (c[0] * go[1] + c[1]) * go[2]
+                      + c[2])[:self.BUDGETS[1]]
+
     @staticmethod
     def _bn_relu(table, scale, bias, mean, var):
         inv = scale / np.sqrt(var + 1e-3)
@@ -146,18 +162,7 @@ class TestSparseMiddleEncoderOracle:
         # Strided downsample: active outs = reachable cells, sorted by
         # cell id, capped at the level budget.
         go = tuple((g + 2 - 3) // 2 + 1 for g in self.GRID)
-        outs = set()
-        for (z, y, x) in active:
-            for oz in range(3):
-                for oy in range(3):
-                    for ox in range(3):
-                        t = (z + 1 - oz, y + 1 - oy, x + 1 - ox)
-                        if all(c % 2 == 0 for c in t):
-                            o = tuple(c // 2 for c in t)
-                            if all(0 <= o[d] < go[d] for d in range(3)):
-                                outs.add(o)
-        outs = sorted(outs, key=lambda c: (c[0] * go[1] + c[1]) * go[2]
-                      + c[2])[:self.BUDGETS[1]]
+        outs = self._strided_outs(active, go)
         table = conv_i(2, table, active, 2, self.GRID, outs)
 
         # Level 1: two submanifold convs on the downsampled set.
@@ -256,18 +261,7 @@ class TestDenseTailOracle(TestSparseMiddleEncoderOracle):
         table = sparse_conv_i(1, table, active, 1, self.GRID, active)
 
         go = tuple((g + 2 - 3) // 2 + 1 for g in self.GRID)
-        outs = set()
-        for (z, y, x) in active:
-            for oz in range(3):
-                for oy in range(3):
-                    for ox in range(3):
-                        t = (z + 1 - oz, y + 1 - oy, x + 1 - ox)
-                        if all(c % 2 == 0 for c in t):
-                            o = tuple(c // 2 for c in t)
-                            if all(0 <= o[d] < go[d] for d in range(3)):
-                                outs.add(o)
-        outs = sorted(outs, key=lambda c: (c[0] * go[1] + c[1]) * go[2]
-                      + c[2])[:self.BUDGETS[1]]
+        outs = self._strided_outs(active, go)
         table = sparse_conv_i(2, table, active, 2, self.GRID, outs)
 
         # Dense tail: the two level-1 submanifold convs as dense
@@ -282,3 +276,44 @@ class TestDenseTailOracle(TestSparseMiddleEncoderOracle):
 
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestFootprintOracle(TestSparseMiddleEncoderOracle):
+    """Sparsity-retaining downsample (downsample="footprint") vs the
+    same dense numpy replica: the strided conv's output set is
+    restricted to cells whose 2x2x2 input footprint is occupied
+    (|out| <= |in| instead of 3-4x dilation), and values at the kept
+    cells must still equal the dense conv's values there (the rulebook
+    gathers all 27 taps regardless of how the output set was chosen)."""
+
+    def _model(self):
+        from lisec_tpu.models.second import SparseMiddleEncoder
+        import jax.numpy as jnp
+        return SparseMiddleEncoder(
+            grid=self.GRID, channels=self.CHANNELS,
+            level_budgets=self.BUDGETS, subm_per_level=2,
+            downsample="footprint", dtype=jnp.float32)
+
+    def _strided_outs(self, active, go):
+        outs = {tuple(c // 2 for c in cell) for cell in active}
+        outs = {o for o in outs
+                if all(0 <= o[d] < go[d] for d in range(3))}
+        return sorted(outs, key=lambda c: (c[0] * go[1] + c[1]) * go[2]
+                      + c[2])[:self.BUDGETS[1]]
+
+
+class TestFootprintDenseTailOracle(TestDenseTailOracle):
+    """Footprint downsample composed with the dense masked tail: the
+    boundary densify + masked convs must mask to the FOOTPRINT active
+    set (2x2x2 max-pool propagation, not 3^3 dilation)."""
+
+    def _model(self):
+        from lisec_tpu.models.second import SparseMiddleEncoder
+        import jax.numpy as jnp
+        return SparseMiddleEncoder(
+            grid=self.GRID, channels=self.CHANNELS,
+            level_budgets=self.BUDGETS, subm_per_level=2,
+            dense_from_level=1, downsample="footprint",
+            dtype=jnp.float32)
+
+    _strided_outs = TestFootprintOracle._strided_outs
