@@ -25,6 +25,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--config", default="configs/second_kitti.yaml")
     args = ap.parse_args()
 
     from lisec_tpu.config import apply_overrides, load_config
@@ -34,7 +35,7 @@ def main():
     from lisec_tpu.ops.sparse_conv import (
         SparseConvSpec, build_output_coords, build_scatter_rulebook)
 
-    cfg = load_config("configs/second_kitti.yaml")
+    cfg = load_config(args.config)
     cfg = apply_overrides(cfg, [
         "data.fixture=true", "data.fixture_size=8",
         "data.augment.enabled=false", "train.ckpt_dir=",
