@@ -124,7 +124,7 @@ class TestMultiHostPieces:
         assert initialize_distributed() in (False,)
 
 
-def test_dp_grads_match_single_device_exactly(cfg, eight_devices):
+def _dp_grads_check(cfg, batch_size, rtol, atol):
     """Pre-optimizer gradients from the 8-way sharded loss must equal
     the single-device gradients on the same batch (the DP contract at
     the gradient level, not just grad_norm / post-Adam params)."""
@@ -136,7 +136,7 @@ def test_dp_grads_match_single_device_exactly(cfg, eight_devices):
     pipe8 = _make(cfg, 8)
     state = pipe1.init_state(0)
     ds = pipe1.make_dataset("train")
-    batch = next(make_batches(ds, cfg.budget, cfg.train.batch_size,
+    batch = next(make_batches(ds, cfg.budget, batch_size,
                               shuffle=False))
     rng = jax.random.PRNGKey(3)
 
@@ -158,4 +158,25 @@ def test_dp_grads_match_single_device_exactly(cfg, eight_devices):
     g8 = grads(pipe8)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
-            a, b, rtol=2e-4, atol=1e-6), g1, g8)
+            a, b, rtol=rtol, atol=atol), g1, g8)
+
+
+def test_dp_grads_match_single_device_exactly(cfg, eight_devices):
+    _dp_grads_check(cfg, cfg.train.batch_size, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("config_path,batch_size", [
+    ("configs/pointpillars_tiny.yaml", 8),
+    ("configs/second_tiny.yaml", 8),
+])
+def test_dp_grads_detection(config_path, batch_size, eight_devices):
+    """VERDICT r4 #6: DP gradient equality THROUGH the detection
+    pipelines' hand-written custom-VJP Pallas paint/spread/unpaint
+    paths (PointPillars encoder, SECOND sparse conv) — a psum x
+    custom_vjp interaction or batch-stat sharding bug in exactly these
+    models would pass the cls-only test and the executes-only dryrun.
+    Absolute tolerance is loose-ish because detection losses divide by
+    num_pos, amplifying reduction-order noise; what this test pins is
+    bit-level structural agreement, not float associativity."""
+    det_cfg = load_config(config_path)
+    _dp_grads_check(det_cfg, batch_size, rtol=5e-4, atol=5e-6)
