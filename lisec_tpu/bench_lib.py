@@ -155,28 +155,41 @@ def bench_inference(cfg: Config, *, batch_size: int = 8,
 
 def bench_voxelize(cfg: Config, *, batch_size: int = 8,
                    warmup: int = 2, iters: int = 20) -> Dict[str, float]:
-    """Voxelization throughput in GB/s of point bytes processed."""
-    from lisec_tpu.ops.voxelize import voxelize_batch
+    """Voxelization throughput in GB/s of point bytes processed.
+
+    Headline = the fused voxelize+mean-VFE paint (the production
+    detector front end — 8 lanes/voxel, no (P, K, C) table); the
+    table-materializing variant rides along for comparison (its GB/s
+    is bounded by output amplification: the K-slot table is ~6x the
+    input bytes at KITTI budgets — ROUND4_NOTES 'Voxelize
+    attribution')."""
+    from lisec_tpu.ops.voxelize import voxelize_batch, voxelize_mean_batch
 
     batch = _fixture_batch(cfg, batch_size)
     points = jnp.asarray(batch["points"])
     mask = jnp.asarray(batch["point_mask"])
+    kw = dict(
+        pc_range=cfg.voxel.point_cloud_range,
+        voxel_size=cfg.voxel.voxel_size,
+        grid_size=cfg.voxel.grid_size,
+        max_voxels=cfg.budget.max_voxels,
+        max_points_per_voxel=cfg.budget.max_points_per_voxel)
 
-    def vox_fn(p, m):
-        return jnp.sum(voxelize_batch(
-            p, m,
-            pc_range=cfg.voxel.point_cloud_range,
-            voxel_size=cfg.voxel.voxel_size,
-            grid_size=cfg.voxel.grid_size,
-            max_voxels=cfg.budget.max_voxels,
-            max_points_per_voxel=cfg.budget.max_points_per_voxel,
-        ).voxels)
+    def fused_fn(p, m):
+        r = voxelize_mean_batch(p, m, **kw)
+        return jnp.sum(r.feats) + jnp.sum(r.num_points)
 
-    dt = chain_time(vox_fn, (points, mask), iters, measure_sync_floor())
+    def table_fn(p, m):
+        return jnp.sum(voxelize_batch(p, m, **kw).voxels)
+
+    floor = measure_sync_floor()
+    dt = chain_time(fused_fn, (points, mask), iters, floor)
+    dt_table = chain_time(table_fn, (points, mask), iters, floor)
     nbytes = points.size * points.dtype.itemsize
     return {
         "voxelize_gb_per_sec": nbytes / dt / 1e9,
         "voxelize_us_per_cloud": 1e6 * dt / batch_size,
+        "voxelize_table_gb_per_sec": nbytes / dt_table / 1e9,
     }
 
 

@@ -325,7 +325,13 @@ class SECONDNet(nn.Module):
     def __call__(self, voxels, coords, num_points, num_voxels,
                  train: bool = False):
         nx, ny, nz = self.grid_size
-        feats = mean_vfe(voxels, num_points).astype(self.dtype)
+        if voxels.ndim == 3:
+            # (B, P, C): pre-fused mean-VFE features from
+            # ops.voxelize.voxelize_mean_batch — the voxelize+mean
+            # paint that never materializes the (P, K, C) table.
+            feats = voxels.astype(self.dtype)
+        else:
+            feats = mean_vfe(voxels, num_points).astype(self.dtype)
         bev = SparseMiddleEncoder(
             grid=(nz, ny, nx),
             channels=tuple(self.encoder_channels),

@@ -35,6 +35,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+LANES_MAX = 128
+
 
 class VoxelizationResult(NamedTuple):
     """Fixed-shape voxelization output (leading batch axis optional).
@@ -209,6 +211,115 @@ def voxelize_batch(
 
     return VoxelizationResult(voxels, coords, num_points, num_voxels,
                               point_voxel)
+
+
+class VoxelizeMeanResult(NamedTuple):
+    """Fused voxelize + mean-VFE output (SECOND's front end).
+
+    feats:      (..., P, C) per-voxel MEAN of the <=K kept points
+    coords:     (..., P, 3) int32 cell coords ([z, y, x]); -1 where invalid
+    num_points: (..., P) int32 kept points per cell (<= K)
+    num_voxels: (...,) int32 number of valid cells (<= P)
+    """
+
+    feats: jax.Array
+    coords: jax.Array
+    num_points: jax.Array
+    num_voxels: jax.Array
+
+
+@partial(jax.jit, static_argnames=(
+    "pc_range", "voxel_size", "grid_size", "max_voxels",
+    "max_points_per_voxel"))
+def voxelize_mean_batch(
+    points: jax.Array,
+    point_mask: jax.Array,
+    *,
+    pc_range: Tuple[float, ...],
+    voxel_size: Tuple[float, ...],
+    grid_size: Tuple[int, int, int],
+    max_voxels: int,
+    max_points_per_voxel: int,
+) -> VoxelizeMeanResult:
+    """Voxelize + mean-VFE in ONE paint, never materializing (P, K, C).
+
+    Exactly ``mean_vfe(voxelize_batch(...))`` (same budgets, same
+    deterministic overflow policy — the mean is over the first K points
+    per cell in point-index order), but the paint target is keyed by
+    VOXEL RANK directly: each point contributes an 8-lane record
+    ``[x, y, z, r.. | count=1 | coords+1 (segment starts only)]`` that
+    segment-SUMS into a (P, 8) table — ~K*16x less table I/O than the
+    slot-packed (P*K/16, 128) layout (round-4 attribution showed that
+    OUTPUT amplification, 98 MB for a 16.8 MB input, bounded the
+    whole op; VERDICT r4 #4 / ROUND4_NOTES "Voxelize attribution").
+    """
+    from lisec_tpu.ops.pallas.pillar_paint import segment_paint
+
+    b, n, c = points.shape
+    kk = max_points_per_voxel
+    nx, ny = grid_size[0], grid_size[1]
+    num_cells = grid_size[0] * grid_size[1] * grid_size[2]
+    rw = -(-(c + 4) // 8) * 8           # record width in lanes
+    if rw > LANES_MAX:
+        raise ValueError(f"too many point channels: {c}")
+
+    cell, _ = point_cell_ids(points, point_mask, pc_range, voxel_size,
+                             grid_size)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    sorted_ops = jax.lax.sort(
+        (cell, idx) + tuple(points[..., j] for j in range(c)),
+        dimension=1, num_keys=2)
+    cell_s = sorted_ops[0]
+    pts_s = jnp.stack(sorted_ops[2:], axis=-1)          # (B, N, C)
+    valid_s = cell_s < num_cells
+
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, cell_s.dtype), cell_s[:, :-1]], axis=1)
+    is_start = (cell_s != prev) & valid_s
+    voxel_rank = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    num_voxels_total = jnp.where(
+        valid_s.any(axis=1), voxel_rank[:, -1] + 1, 0)
+    num_voxels = jnp.minimum(num_voxels_total, max_voxels)
+
+    pos = idx
+    start_idx = jnp.where(is_start, pos, 0)
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, start_idx, axis=1)
+    within = pos - seg_start
+    keep = valid_s & (voxel_rank < max_voxels) & (within < kk)
+
+    cell_clip = jnp.minimum(cell_s, num_cells - 1)
+    cz = (cell_clip // (nx * ny)).astype(jnp.float32)
+    cy = ((cell_clip // nx) % ny).astype(jnp.float32)
+    cx = (cell_clip % nx).astype(jnp.float32)
+    # Coords ride on the SEGMENT-START point only, so the per-cell sum
+    # holds one copy (+1-shifted: an empty cell's 0 decodes to -1).
+    sf = is_start.astype(jnp.float32)
+    rec = jnp.concatenate(
+        [pts_s.astype(jnp.float32),
+         jnp.stack([jnp.ones((b, n), jnp.float32),
+                    sf * (cz + 1), sf * (cy + 1), sf * (cx + 1)],
+                   axis=-1),
+         jnp.zeros((b, n, rw - c - 4), jnp.float32)], axis=-1)
+    rec = jnp.where(keep[..., None], rec, 0.0)
+    # Paint stream: the voxel rank itself (ascending by construction;
+    # over-K points keep their rank with a zero record, dropped cells /
+    # invalid points get the sentinel row).
+    stream = jnp.where(valid_s & (voxel_rank < max_voxels),
+                       voxel_rank, max_voxels)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    table = segment_paint(
+        rec, stream, num_cells=max_voxels,
+        num_max=0, count_channel=c, slab=2048, window=512,
+        interpret=interpret)                            # (B, P, rw)
+
+    cnt = table[..., c]
+    num_points = jnp.round(cnt).astype(jnp.int32)
+    feats = (table[..., :c]
+             / jnp.maximum(cnt, 1.0)[..., None]).astype(points.dtype)
+    coords = (jnp.round(table[..., c + 1:c + 4]) - 1.0).astype(jnp.int32)
+    return VoxelizeMeanResult(feats, coords, num_points, num_voxels)
 
 
 @partial(jax.jit, static_argnames=(

@@ -338,6 +338,22 @@ class SECONDPipeline(PointPillarsPipeline):
 
     OUTPUT_STRIDE = 8
 
+    def _model_args(self, batch):
+        # Fused voxelize+mean-VFE paint (VERDICT r4 #4): per-voxel sums
+        # painted directly (8 lanes/voxel) instead of the (P, K, C)
+        # slot table whose output amplification bounded the old op.
+        from lisec_tpu.ops.voxelize import voxelize_mean_batch
+
+        cfg = self.cfg
+        vox = voxelize_mean_batch(
+            batch["points"], batch["point_mask"],
+            pc_range=cfg.voxel.point_cloud_range,
+            voxel_size=cfg.voxel.voxel_size,
+            grid_size=self.grid,
+            max_voxels=cfg.budget.max_voxels,
+            max_points_per_voxel=cfg.budget.max_points_per_voxel)
+        return (vox.feats, vox.coords, vox.num_points, vox.num_voxels)
+
     def build_model(self, cfg: Config):
         p = cfg.model.params
         self.fused = False

@@ -78,6 +78,51 @@ class TestVoxelize:
         assert int(res.num_voxels) == 1
         np.testing.assert_array_equal(np.asarray(res.point_voxel), pv)
 
+    @pytest.mark.parametrize("max_v,max_p", [(128, 8), (16, 4), (64, 1)])
+    def test_fused_mean_matches_unfused(self, rng, max_v, max_p):
+        """voxelize_mean == mean_vfe(voxelize) bit-for-policy: same
+        budgets, same deterministic overflow, coords/counts exact."""
+        from lisec_tpu.models.second import mean_vfe
+        from lisec_tpu.ops.voxelize import voxelize_mean_batch
+
+        pts = np.stack([_cloud(rng, 512) for _ in range(3)])
+        # Row 0 of cloud 2 out of range; cloud 1 has masked padding.
+        pts[2, 0, 0] = 1e4
+        mask = np.ones((3, 512), bool)
+        mask[1, 400:] = False
+        res = ops.voxelize_batch(
+            jnp.asarray(pts), jnp.asarray(mask),
+            pc_range=self.RANGE, voxel_size=self.VSIZE,
+            grid_size=self.GRID, max_voxels=max_v,
+            max_points_per_voxel=max_p)
+        ref_feats = mean_vfe(res.voxels, res.num_points)
+        fused = voxelize_mean_batch(
+            jnp.asarray(pts), jnp.asarray(mask),
+            pc_range=self.RANGE, voxel_size=self.VSIZE,
+            grid_size=self.GRID, max_voxels=max_v,
+            max_points_per_voxel=max_p)
+        np.testing.assert_array_equal(np.asarray(fused.num_voxels),
+                                      np.asarray(res.num_voxels))
+        np.testing.assert_array_equal(np.asarray(fused.num_points),
+                                      np.asarray(res.num_points))
+        np.testing.assert_array_equal(np.asarray(fused.coords),
+                                      np.asarray(res.coords))
+        np.testing.assert_allclose(np.asarray(fused.feats),
+                                   np.asarray(ref_feats),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_fused_mean_empty_cloud(self):
+        from lisec_tpu.ops.voxelize import voxelize_mean_batch
+
+        pts = np.zeros((1, 64, 4), np.float32)
+        fused = voxelize_mean_batch(
+            jnp.asarray(pts), jnp.zeros((1, 64), bool),
+            pc_range=self.RANGE, voxel_size=self.VSIZE,
+            grid_size=self.GRID, max_voxels=16, max_points_per_voxel=4)
+        assert int(fused.num_voxels[0]) == 0
+        assert np.all(np.asarray(fused.coords) == -1)
+        assert np.all(np.asarray(fused.feats) == 0)
+
     def test_overflow_multi_slab(self, rng):
         # Regression (round-2 ADVICE, high): with a multi-slab table
         # (max_voxels * K / 16 > 2048 — true for both KITTI configs) an
