@@ -46,6 +46,7 @@ class Pipeline:
         self._train_step = None
         self._predict = None
         self._predict_packed = None
+        self._predict_dp = None
 
     # -- subclass API ------------------------------------------------------
 
@@ -123,6 +124,24 @@ class Pipeline:
             self._predict = jax.jit(self.predict)
         batch = jax.tree.map(jnp.asarray, batch)
         return self._predict(state.params, state.batch_stats, batch)
+
+    def infer_dp(self, state: TrainState, batch) -> Dict[str, jax.Array]:
+        """Data-parallel batched inference over the pipeline's mesh
+        (BASELINE.json:5 "clouds/sec/chip" is an inference-DP claim —
+        this is the executed program behind the 8-chip extrapolation,
+        not arithmetic). The batch axis is sharded over `data`; params
+        are replicated; each chip runs the identical per-cloud program
+        with NO cross-chip collectives in the forward path, so
+        throughput scales as chips x per-chip throughput minus input
+        staging. Outputs come back batch-sharded."""
+        if self._predict_dp is None:
+            rep = replicated_sharding(self.mesh)
+            data = batch_sharding(self.mesh)
+            self._predict_dp = jax.jit(
+                self.predict, in_shardings=(rep, rep, data),
+                out_shardings=data)
+        return self._predict_dp(state.params, state.batch_stats,
+                                self.device_batch(batch))
 
     def infer_packed(self, state: TrainState, packed) -> Dict[str, jax.Array]:
         """One-round-trip inference from the int16 wire format

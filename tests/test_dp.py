@@ -165,6 +165,33 @@ def test_dp_grads_match_single_device_exactly(cfg, eight_devices):
     _dp_grads_check(cfg, cfg.train.batch_size, rtol=2e-4, atol=1e-6)
 
 
+def test_dp_inference_matches_single_device(eight_devices):
+    """VERDICT r4 #10: DP INFERENCE as an executed program — the
+    8-way batch-sharded predict must return the same boxes as the
+    single-device predict on the concatenated batch (the '10k = 8 x
+    per-chip' extrapolation rests on this program, not arithmetic)."""
+    from lisec_tpu.data.collate import make_batches
+
+    det_cfg = load_config("configs/pointpillars_tiny.yaml")
+    pipe1 = _make(det_cfg, 1)
+    pipe8 = _make(det_cfg, 8)
+    state = pipe1.init_state(0)
+    ds = pipe1.make_dataset("train")
+    batch = next(make_batches(ds, det_cfg.budget, 8, shuffle=False))
+    batch = {k: batch[k] for k in ("points", "point_mask")}
+
+    out1 = pipe1.infer(state, batch)
+    out8 = pipe8.infer_dp(state, batch)
+    np.testing.assert_array_equal(np.asarray(out8["valid"]),
+                                  np.asarray(out1["valid"]))
+    np.testing.assert_allclose(np.asarray(out8["boxes"]),
+                               np.asarray(out1["boxes"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out8["scores"]),
+                               np.asarray(out1["scores"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("config_path,batch_size", [
     ("configs/pointpillars_tiny.yaml", 8),
     ("configs/second_tiny.yaml", 8),
