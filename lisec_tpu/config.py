@@ -95,6 +95,10 @@ class DataConfig:
     # reading `root` (used when real data is absent; SURVEY.md §4).
     fixture: bool = False
     fixture_size: int = 64
+    # hard fixture variant (detection only): ray-cast scenes with
+    # occlusion / truncation / ring density falloff / distractors and
+    # per-gt difficulty (data/fixtures.py::make_detection_scene_hard).
+    fixture_hard: bool = False
 
 
 @dataclass

@@ -124,17 +124,21 @@ def get_label_objects(path: str) -> List[KittiObject]:
 # epoch's working set (hit rate comes from seed reuse across epochs,
 # not cache breadth; 4096 would have crept toward 0.5 GB on this box).
 @functools.lru_cache(maxsize=1024)
-def _fixture_scene_cached(seed: int, num_classes: int):
+def _fixture_scene_cached(seed: int, num_classes: int, hard: bool = False):
+    if hard:
+        from lisec_tpu.data.fixtures import make_detection_scene_hard
+        return make_detection_scene_hard(seed, num_classes=num_classes)
     return make_detection_scene(seed, num_classes=num_classes)
 
 
-def _fixture_scene(seed: int, num_classes: int) -> Dict[str, np.ndarray]:
+def _fixture_scene(seed: int, num_classes: int,
+                   hard: bool = False) -> Dict[str, np.ndarray]:
     """Fixture scenes are deterministic per (seed, classes) but cost
     ~37 ms to synthesize — regenerating one per dataset access made the
     convergence-run data pipeline host-bound (7.5 clouds/s against a
     ~40 clouds/s device step). Cache them (~130 KB/scene) and hand out
     array copies so in-place augmentation can't corrupt the cache."""
-    s = _fixture_scene_cached(seed, num_classes)
+    s = _fixture_scene_cached(seed, num_classes, hard)
     return {k: v.copy() if isinstance(v, np.ndarray) else v
             for k, v in s.items()}
 
@@ -148,6 +152,8 @@ class KittiDetection:
         if self.fixture:
             self.size = cfg.data.fixture_size
             self.num_classes = len(self.class_names)
+            self.fixture_hard = bool(getattr(cfg.data, "fixture_hard",
+                                             False))
             return
         root = cfg.data.root
         with open(os.path.join(root, f"{split}.txt")) as f:
@@ -161,7 +167,17 @@ class KittiDetection:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         if self.fixture:
             seed = i if self.split == "train" else 30_000 + i
-            return _fixture_scene(seed, len(self.class_names))
+            scene = _fixture_scene(seed, len(self.class_names),
+                                   self.fixture_hard)
+            if self.fixture_hard and self.split == "train":
+                # Difficulty -1 = near-invisible (< 5 rays reach it):
+                # keep it out of the positive-anchor supply, the same
+                # reason the real recipe drops DontCare/filtered gts
+                # from training targets (eval already ignores it).
+                keep = scene["difficulty"] >= 0
+                for k in ("gt_boxes", "gt_classes", "difficulty"):
+                    scene[k] = scene[k][keep]
+            return scene
         fid = self.ids[i]
         base = os.path.join(self.root, "training")
         points = read_velodyne(

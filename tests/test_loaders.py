@@ -122,3 +122,60 @@ class TestSeekableBatches:
             assert a.keys() == b.keys()
             for key in a:
                 np.testing.assert_array_equal(a[key], b[key])
+
+
+class TestHardFixture:
+    """Ray-cast hard detection fixture (VERDICT r4 #9): occlusion,
+    truncation, ring density falloff, distractors, per-gt difficulty."""
+
+    def test_difficulty_buckets_separate(self):
+        d = np.concatenate([
+            fixtures.make_detection_scene_hard(s)["difficulty"]
+            for s in range(8)])
+        # All three buckets (and the ignore bin) must be populated —
+        # the whole point of the hard fixture is discriminative AP.
+        for level in (0, 1, 2, -1):
+            assert np.sum(d == level) > 0, f"no gts at difficulty {level}"
+
+    def test_occlusion_costs_points(self):
+        # Points are lidar returns: an object behind another gets fewer
+        # rays, and ignored (-1) gts have < 5 visible points by
+        # construction; easy gts must be densely hit.
+        from lisec_tpu.ops import boxes as box_ops
+        import jax.numpy as jnp
+        sc = fixtures.make_detection_scene_hard(1)
+        inside = np.asarray(box_ops.points_in_rbbox(
+            jnp.asarray(sc["points"][:, :3]),
+            jnp.asarray(sc["gt_boxes"])))
+        counts = inside.sum(axis=0)
+        easy = sc["difficulty"] == 0
+        if easy.any():
+            assert counts[easy].min() >= 20
+        # Ray-cast scenes never fill the interior: every box's points
+        # must be a small fraction of the uniform fixture's ~200.
+        assert counts.max() < 4000
+
+    def test_ring_density_falloff(self):
+        sc = fixtures.make_detection_scene_hard(0)
+        r = np.hypot(sc["points"][:, 0], sc["points"][:, 1])
+        near = np.sum((r > 5) & (r < 15)) / 10.0
+        far = np.sum((r > 40) & (r < 60)) / 20.0
+        assert near > 5 * far    # points-per-meter falls with range
+
+    def test_dataset_plumbs_difficulty(self):
+        cfg = load_config("configs/pointpillars_tiny.yaml")
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(
+                cfg.data, fixture=True, fixture_hard=True,
+                fixture_size=4))
+        train = KittiDetection(cfg, "train")[0]
+        assert (train["difficulty"] >= 0).all()     # -1 gts dropped
+        val = KittiDetection(cfg, "val")[1]
+        assert "difficulty" in val
+        assert len(val["difficulty"]) == len(val["gt_boxes"])
+
+    def test_deterministic(self):
+        a = fixtures.make_detection_scene_hard(7)
+        b = fixtures.make_detection_scene_hard(7)
+        assert np.array_equal(a["points"], b["points"])
+        assert np.array_equal(a["gt_boxes"], b["gt_boxes"])
