@@ -227,6 +227,14 @@ def segment_unpaint(
         cell_sorted, jnp.minimum(posf, npad + window - 1), axis=1)
     cells = jnp.minimum(cells, padded_rows - 1)
     rows = jnp.take_along_axis(table, cells[:, :, None], axis=1)
+    if not exact:
+        # The kernel's non-exact path returns the 2-pass (hi+mid)
+        # reconstruction; patched rows must match it bit-for-bit, or a
+        # caller comparing outputs against its own 2-pass decomposition
+        # (segment-max argmax indicator) silently drops boundary rows.
+        r_hi = rows.astype(jnp.bfloat16).astype(jnp.float32)
+        rows = r_hi + (rows - r_hi).astype(jnp.bfloat16).astype(
+            jnp.float32)
     tgt = jnp.where(valid, posf, npad + window)              # drop slot
     out = out.at[jnp.arange(b)[:, None], tgt].set(rows, mode="drop")
     return out[:, :n, :c_in]

@@ -122,16 +122,26 @@ def _segmax_bwd(num_cells, interpret, res, g):
         canvas, g_canvas.astype(jnp.float32),
         jnp.zeros((b, canvas.shape[1], width - 2 * c), jnp.float32)],
         axis=-1)
-    # (A round-3 note proposed routing the cotangent lanes with 2
-    # passes instead of 3 — but the one-hot matmul's output tile is
-    # lane-padded to 128 on the MXU, so slicing the third pass to the
-    # canvas lanes saves nothing; exact everywhere costs the same.)
+    # Two routing passes, not three (round-5; ~1/3 of the 10.7 ms/b4
+    # unpaint). Slicing lanes saves nothing (the one-hot matmul's
+    # output tile pads to 128 lanes), but the EXACTNESS requirement is
+    # narrower than round 3 assumed: the argmax indicator only needs
+    # equality, and a 2-pass hi+mid route is an exact SELECTION of the
+    # top-17-mantissa-bit prefix — so compare it against h's own
+    # 2-pass reconstruction instead of raw f32. Distinct values that
+    # collide in 17 bits both get g (the measure-zero tie caveat the
+    # 3-pass version already carried). The cotangent lanes ride the
+    # same 2 passes: |error| < 2^-17 relative, far under any training
+    # or check_grads tolerance.
     per_pt = segment_unpaint(tab, cell_sorted, num_rows=num_cells,
-                             interpret=interpret, exact=True,
+                             interpret=interpret, exact=False,
                              slab=2048)
-    mx = per_pt[..., :c]
+    mx2 = per_pt[..., :c]                 # hi+mid of the segment max
     gp = per_pt[..., c:2 * c]
-    dh = jnp.where(h.astype(jnp.float32) == mx, gp, 0.0)
+    h32 = h.astype(jnp.float32)
+    h_hi = h32.astype(jnp.bfloat16).astype(jnp.float32)
+    h2 = h_hi + (h32 - h_hi).astype(jnp.bfloat16).astype(jnp.float32)
+    dh = jnp.where(h2 == mx2, gp, 0.0)
     return dh.astype(h.dtype), None
 
 
@@ -198,8 +208,11 @@ def _segsum_bwd(num_cells, interpret, res, g):
         g_tab.astype(jnp.float32),
         jnp.zeros((b, g_tab.shape[1], width - c), jnp.float32)],
         axis=-1) if width != c else g_tab.astype(jnp.float32)
+    # Sum-gradient is a pure value gather — no equality test — so the
+    # 2-pass hi+mid route (|error| < 2^-17 relative) replaces the
+    # 3-pass exact one (round-5, same argument as _segmax_bwd).
     per_row = segment_unpaint(tab, cell_sorted, num_rows=num_cells,
-                              interpret=interpret, exact=True,
+                              interpret=interpret, exact=False,
                               slab=2048)
     return per_row[..., :c].astype(dtype), None
 
