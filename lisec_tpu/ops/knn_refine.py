@@ -70,17 +70,23 @@ def knn_refine_batch(
     hw = h * w
     half = window // 2
     s2 = window * window
-    assert 3 * s2 <= 128, "window too large for the 128-lane table"
+    assert 2 * s2 <= 128, "window too large for the 128-lane table"
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    # 1. image-space neighborhood table (B, HW, 128).
+    # 1. image-space neighborhood table (B, HW, 2*S²). Labels and
+    #    validity share one packed channel (valid ? label+1 : 0) —
+    #    round 5: the table's DMA / spread / fill costs all scale with
+    #    channel width, and 2*S² = 50 pads to a 64-lane table instead
+    #    of 3*S² = 75 padding to 128, halving the HBM traffic of every
+    #    table-shaped op below (the op was 42.7 ms/batch-8, dominated
+    #    by exactly that traffic — benchmarks/profile_rangeseg.py).
     nbr_r = _shifted_stack(image_range, half, 0.0)
-    nbr_l = _shifted_stack(image_labels.astype(jnp.float32), half, 0.0)
-    nbr_v = _shifted_stack(
-        image_mask.astype(jnp.float32), half, 0.0)
+    lbl_enc = jnp.where(image_mask,
+                        image_labels.astype(jnp.float32) + 1.0, 0.0)
+    nbr_l = _shifted_stack(lbl_enc, half, 0.0)
     table = jnp.concatenate(
-        [nbr_r, nbr_l, nbr_v], axis=-1).reshape(b, hw, 3 * s2)
+        [nbr_r, nbr_l], axis=-1).reshape(b, hw, 2 * s2)
 
     # 2. co-sort points by pixel id (original index rides along).
     pix = pixel_uv[..., 0] * w + pixel_uv[..., 1]       # (B, N)
@@ -141,13 +147,13 @@ def knn_refine_batch(
                            jnp.maximum(filled, rolled), filled)
         sh *= 2
 
-    # 4. flat k-NN vote.
+    # 4. flat k-NN vote (labels unpacked from the shared channel).
     nr = filled[..., :s2]
-    nl = filled[..., s2:2 * s2]
-    nv = filled[..., 2 * s2:3 * s2]
+    nle = filled[..., s2:2 * s2]                        # 0 or label+1
+    nl = jnp.maximum(nle - 1.0, 0.0)
     dr = jnp.abs(nr - range_s[..., None])
     big = jnp.array(3.0e38, dr.dtype)
-    dr = jnp.where((nv > 0.5) & (dr < cutoff), dr, big)
+    dr = jnp.where((nle > 0.5) & (dr < cutoff), dr, big)
     neg_d, sel = jax.lax.top_k(-dr, k)                  # (B, N, k)
     d = -neg_d
     wgt = jnp.where(d < big, 1.0 / (d + 1e-3), 0.0)

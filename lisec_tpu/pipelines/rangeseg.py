@@ -59,10 +59,15 @@ class RangeSegPipeline(Pipeline):
         }
 
     def _project(self, points, point_mask):
-        return jax.vmap(lambda p, m: range_project(
-            p, m, height=self.height, width=self.width,
-            fov_up_deg=self.fov_up, fov_down_deg=self.fov_down)
-        )(points, point_mask)
+        # Sort+paint O12 (round 5): output-identical to the vmapped
+        # two-scatter reference but off the ~2 GB/s scatter ceiling
+        # (32.3 -> ~5 ms/batch-8 at the 131072-point budget).
+        from lisec_tpu.ops.range_proj import range_project_batch
+        interpret = jax.devices()[0].platform != "tpu"
+        return range_project_batch(
+            points, point_mask, height=self.height, width=self.width,
+            fov_up_deg=self.fov_up, fov_down_deg=self.fov_down,
+            interpret=interpret)
 
     def _label_image(self, proj, point_labels):
         """Per-pixel training labels from per-point ones via the

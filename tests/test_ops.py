@@ -504,6 +504,39 @@ class TestRangeProjection:
         assert np.all(np.asarray(vals) <= np.asarray(res.point_range) + 1e-5)
 
 
+
+    def test_batch_matches_vmapped_reference(self, rng):
+        """range_project_batch (sort+paint O12) must be output-identical
+        to the two-scatter reference, including winner tie-breaks and
+        padding handling."""
+        import jax
+        from lisec_tpu.ops.range_proj import range_project_batch
+        B, N = 3, 512
+        pts = np.stack([_cloud(rng, N, c=4, lo=(1, -10, -2),
+                               hi=(30, 10, 1)) for _ in range(B)])
+        mask = rng.random((B, N)) > 0.2
+        # Duplicate some points so min-range ties exercise the
+        # lowest-index tie-break.
+        pts[:, 100:140] = pts[:, 60:100]
+        ref = jax.vmap(lambda p, m: ops.range_project(
+            p, m, height=self.H, width=self.W))(
+                jnp.asarray(pts), jnp.asarray(mask))
+        out = range_project_batch(
+            jnp.asarray(pts), jnp.asarray(mask), height=self.H,
+            width=self.W, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out.image_mask),
+                                      np.asarray(ref.image_mask))
+        np.testing.assert_array_equal(np.asarray(out.winner_idx),
+                                      np.asarray(ref.winner_idx))
+        np.testing.assert_array_equal(np.asarray(out.pixel_uv),
+                                      np.asarray(ref.pixel_uv))
+        np.testing.assert_allclose(np.asarray(out.point_range),
+                                   np.asarray(ref.point_range), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(ref.image),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestKNNRefine:
     def test_single_class_stays(self, rng):
         pts = _cloud(rng, 128, c=4, lo=(1, -10, -2), hi=(30, 10, 1))
