@@ -24,6 +24,7 @@ WORKLOADS = [
     ("pointnet2_partseg", "configs/pointnet2_shapenetpart.yaml", 16),
     ("pointpillars", "configs/pointpillars_kitti.yaml", 8),
     ("second", "configs/second_kitti.yaml", 4),
+    ("second_footprint", "configs/second_kitti_footprint.yaml", 4),
     ("rangeseg", "configs/rangeseg_semantickitti.yaml", 8),
 ]
 

@@ -151,6 +151,22 @@ def main():
                    for o in jax.tree.leaves(out))
     rec("net_fwd_train", net_fwd, (jb["points"], jb["point_mask"]))
 
+    # assigner + whole-network train forward in ONE chained fn: the
+    # loss arithmetic itself (focal/smooth-L1/CE over (B, A)) is a few
+    # MB of elementwise traffic, so if loss_fwd >> this stage the gap
+    # is real glue; if loss_fwd ~= this stage the earlier "~9 ms loss
+    # math" read was separately-timed stages losing fusion.
+    def assign_net_fn(p, m, gtb, gtc, gtm):
+        out, _ = pipeline.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            p, m, train=True, mutable=["batch_stats"])
+        s = sum(jnp.sum(o.astype(jnp.float32))
+                for o in jax.tree.leaves(out))
+        return s + assign_fn(gtb, gtc, gtm)
+    rec("assign_plus_net", assign_net_fn,
+        (jb["points"], jb["point_mask"], jb["gt_boxes"],
+         jb["gt_classes"], jb["gt_mask"]))
+
     # the two Pallas stages of the train encoder, isolated
     from lisec_tpu.ops.pallas.pillar_paint import segment_paint
     from lisec_tpu.ops.pallas.unpaint import segment_unpaint

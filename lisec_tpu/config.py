@@ -50,6 +50,8 @@ class BudgetConfig:
     nms_post: int = 128              # boxes returned
     nms_near: int = 64               # exact-IoU candidates per emission
                                      # (0 = full rows; see ops/nms.py)
+    nms_block: int = 16              # emissions per block-greedy round
+    nms_select: str = "topk"         # per-round block select: topk|scan
     max_rulebook_pairs: int = 65536  # per kernel-offset pair budget (O7/O8)
 
 

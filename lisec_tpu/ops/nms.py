@@ -39,7 +39,7 @@ class NMSResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("nms_pre", "nms_post", "block",
-                                   "k_near"))
+                                   "k_near", "select", "_ablate"))
 def rotated_nms(
     boxes: jax.Array,
     scores: jax.Array,
@@ -51,6 +51,8 @@ def rotated_nms(
     nms_post: int = 128,
     block: int = 16,
     k_near: int = 0,
+    select: str = "topk",
+    _ablate: str = "",
 ) -> NMSResult:
     """Greedy class-aware rotated NMS over one cloud's detections.
 
@@ -60,6 +62,13 @@ def rotated_nms(
     result is exact greedy NMS for any value). ``k_near`` > 0 bounds the
     exact-IoU work per emitted box to its k_near nearest same-class
     candidates (circle prefilter); 0 = full rows (always exact).
+    ``select`` picks how each round finds its top-``block`` alive
+    candidates: "topk" (masked top_k sort) or "scan" (the preselect
+    already score-sorts the candidates, so the top-``block`` alive ones
+    are the FIRST ``block`` alive slots in index order — a cumsum
+    compaction, no per-round sort; same result including ties).
+    ``_ablate`` is profiling-only ("skip_iou", "fixed_near",
+    comma-separable) and changes results.
     """
     neg_inf = jnp.array(-jnp.inf, scores.dtype)
     nms_pre = min(nms_pre, scores.shape[0])
@@ -89,6 +98,8 @@ def rotated_nms(
     # pairs: exact IoU only for the <= k_near nearest same-class
     # candidates inside the circle bound.
 
+    ablate = set(filter(None, _ablate.split(",")))
+
     def pair_iou(a, b):
         # Flatten pair dims before the IoU: tiny trailing geometry dims
         # on a deep layout tile-pad 50x (CLAUDE.md measured 353 vs
@@ -96,6 +107,8 @@ def rotated_nms(
         shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         a = jnp.broadcast_to(a, shape + (7,)).reshape(-1, 7)
         b = jnp.broadcast_to(b, shape + (7,)).reshape(-1, 7)
+        if "skip_iou" in ablate:   # profiling: same layout, no IoU math
+            return jnp.sum(a * b, axis=-1).reshape(shape)
         return rotated_iou_bev(a, b).reshape(shape)
 
     def cond(state):
@@ -104,8 +117,22 @@ def rotated_nms(
 
     def body(state):
         j, _, alive, out_idx, out_valid = state
-        masked = jnp.where(alive, top_scores, neg_inf)
-        bs, bi = jax.lax.top_k(masked, block)          # (block,) desc
+        if select == "scan":
+            # Candidates are already score-sorted descending, so this
+            # round's top-`block` alive set is the first `block` alive
+            # slots in index order: one cumsum + a (nms_pre,)-element
+            # drop-scatter instead of a masked top_k sort. Unfilled
+            # slots (fewer than `block` alive) read slot 0 and are
+            # masked to -inf — identical to top_k's padding behavior.
+            pos = jnp.cumsum(alive.astype(jnp.int32))
+            slot = jnp.where(alive & (pos <= block), pos - 1, block)
+            bi = jnp.zeros((block + 1,), jnp.int32).at[slot].set(
+                jnp.arange(nms_pre, dtype=jnp.int32), mode="drop")[:block]
+            filled = jnp.arange(block) < pos[-1]
+            bs = jnp.where(filled, top_scores[bi], neg_inf)
+        else:
+            masked = jnp.where(alive, top_scores, neg_inf)
+            bs, bi = jax.lax.top_k(masked, block)      # (block,) desc
         bok = bs > score_threshold
         bboxes = top_boxes[bi]                         # (block, 7)
         blabels = top_labels[bi]
@@ -128,8 +155,12 @@ def rotated_nms(
             rad = half_diag[bi][:, None] + half_diag[None, :]
             near = ((d2 < rad * rad)
                     & (blabels[:, None] == top_labels[None, :]))
-            key = jnp.where(near, -d2, -jnp.inf)
-            _, near_idx = jax.lax.top_k(key, k_near)   # (block, k_near)
+            if "fixed_near" in ablate:  # profiling: no compaction sort
+                near_idx = jnp.broadcast_to(
+                    jnp.arange(k_near)[None, :], (block, k_near))
+            else:
+                key = jnp.where(near, -d2, -jnp.inf)
+                _, near_idx = jax.lax.top_k(key, k_near)  # (block, k_near)
             near_ok = jnp.take_along_axis(near, near_idx, axis=1)
             m = pair_iou(bboxes[:, None, :], top_boxes[near_idx])
 

@@ -272,6 +272,8 @@ class PointPillarsPipeline(Pipeline):
             nms_pre=npre,
             nms_post=self.cfg.budget.nms_post,
             k_near=self.cfg.budget.nms_near,
+            block=self.cfg.budget.nms_block,
+            select=self.cfg.budget.nms_select,
         ))(boxes, sel_scores, labels)
         return {
             "boxes": nms.boxes,

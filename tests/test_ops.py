@@ -401,6 +401,34 @@ class TestNMS:
         np.testing.assert_allclose(np.sort(got_scores)[::-1], want_scores,
                                    rtol=1e-6)
 
+    def test_scan_select_matches_topk(self, rng):
+        # The cumsum block-select must be bit-identical to the masked
+        # top_k select (candidates are score-sorted, so "top block
+        # alive" == "first block alive"), on a dense multi-round scene,
+        # both with and without the k_near compaction.
+        n = 256
+        boxes = np.stack([
+            rng.uniform(-8, 8, n), rng.uniform(-8, 8, n), np.zeros(n),
+            rng.uniform(2, 6, n), rng.uniform(1, 4, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        labels = rng.integers(0, 2, n).astype(np.int32)
+        kw = dict(iou_threshold=0.2, score_threshold=0.05,
+                  nms_pre=256, nms_post=24)
+        for k_near in (0, 16):
+            a = ops.rotated_nms(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                jnp.asarray(labels), select="topk", k_near=k_near, **kw)
+            b = ops.rotated_nms(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                jnp.asarray(labels), select="scan", k_near=k_near, **kw)
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid))
+            np.testing.assert_array_equal(np.asarray(a.scores),
+                                          np.asarray(b.scores))
+            np.testing.assert_array_equal(np.asarray(a.boxes),
+                                          np.asarray(b.boxes))
+
     def test_k_near_compaction_matches_full(self, rng):
         # Spread scene: few same-class candidates inside any circle
         # bound, so the compacted path (k_near=16) must be exactly the
