@@ -32,6 +32,11 @@ def main():
     # Batch 32: device throughput saturates there (measured round 3:
     # 446-464 clouds/s at b16, 502 at b32, 502 at b64) at the same
     # budgets; latency-sensitive callers pick their own batch.
+    # BENCH_OVERRIDES="k=v,k=v" applies extra config overrides (used
+    # for same-session A/B runs of tuning knobs, e.g. budget.nms_select).
+    extra = os.environ.get("BENCH_OVERRIDES", "")
+    if extra:
+        cfg = apply_overrides(cfg, [o for o in extra.split(",") if o])
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     result = run_benchmark(cfg, batch_size=batch_size)
     print(json.dumps(result))
