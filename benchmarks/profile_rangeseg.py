@@ -29,6 +29,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--knn", action="store_true",
+                    help="also attribute O13's sub-stages")
     args = ap.parse_args()
 
     from lisec_tpu.config import apply_overrides, load_config
@@ -90,6 +92,47 @@ def main():
             window=pipeline.knn_window, k=pipeline.knn_k,
             num_classes=pipeline.num_classes).astype(jnp.float32))
     rec("knn_refine", refine_only, (proj.point_range, img[..., 0]))
+
+    if args.knn:
+        # O13 sub-stage attribution (separately-timed stages lose
+        # fusion — sum > whole is expected; the RATIOS are the signal).
+        from lisec_tpu.ops.knn_refine import (
+            _build_table, _deliver_rows, _forward_fill, _vote)
+
+        window, k = pipeline.knn_window, pipeline.knn_k
+        half, s2 = window // 2, window * window
+        h, w = img.shape[1:3]
+        hw, n = h * w, proj.point_range.shape[1]
+        im0 = img[..., 0]
+
+        def tbl(im0):
+            return jnp.sum(_build_table(
+                im0, plabels, proj.image_mask, half, s2))
+        rec("knn_table", tbl, (im0,))
+
+        pix = proj.pixel_uv[..., 0] * w + proj.pixel_uv[..., 1]
+        idx = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None], pix.shape)
+        pix_s, _, range_s = jax.lax.sort(
+            (pix, idx, proj.point_range), dimension=1, num_keys=2)
+        table = _build_table(im0, plabels, proj.image_mask, half, s2)
+
+        def deliver(t):
+            return jnp.sum(_deliver_rows(t, pix_s, hw, n, False))
+        rec("knn_deliver", deliver, (table,))
+
+        first_rows = _deliver_rows(table, pix_s, hw, n, False)
+
+        def fill(fr):
+            return jnp.sum(_forward_fill(fr, pix_s, 32))
+        rec("knn_fill", fill, (first_rows,))
+
+        filled = _forward_fill(first_rows, pix_s, 32)
+
+        def vote(fl, rs):
+            r, hv = _vote(fl, rs, s2, k, pipeline.num_classes, 1.0)
+            return jnp.sum(r) + jnp.sum(hv)
+        rec("knn_vote", vote, (filled, range_s))
 
     # Conv-tower roofline: count MACs from the widths config.
     h, w = pipeline.height, pipeline.width

@@ -80,6 +80,44 @@ def chain_time(fn, args, iters: int, sync_floor: float) -> float:
     return max(dt - sync_floor, 0.0) / iters
 
 
+def _tree_key(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
+def save_weights_npz(state, path: str) -> None:
+    """Dump params + batch_stats to a flat npz (committable trained
+    snapshot — orbax dirs carry 3x-larger optimizer state)."""
+    out = {}
+    for prefix, tree in (("params", state.params),
+                         ("batch_stats", state.batch_stats)):
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            out[f"{prefix}/{_tree_key(kp)}"] = np.asarray(leaf)
+    np.savez_compressed(path, **out)
+
+
+def load_weights_npz(state, path: str):
+    """Restore params + batch_stats from ``save_weights_npz`` output
+    into a freshly-initialized state (shapes/dtypes must match)."""
+    data = np.load(path)
+    new = {}
+    for prefix, tree in (("params", state.params),
+                         ("batch_stats", state.batch_stats)):
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        vals = []
+        for kp, leaf in leaves:
+            arr = data[f"{prefix}/{_tree_key(kp)}"]
+            if arr.shape != leaf.shape:
+                raise ValueError(
+                    f"{prefix}/{_tree_key(kp)}: snapshot {arr.shape} "
+                    f"vs model {leaf.shape}")
+            vals.append(jnp.asarray(arr, leaf.dtype))
+        new[prefix] = jax.tree_util.tree_unflatten(
+            treedef, [v for v in vals])
+    return state.replace(params=new["params"],
+                         batch_stats=new["batch_stats"])
+
+
 def _fixture_batch(cfg: Config, batch_size: int, seed: int = 0):
     from lisec_tpu.data.collate import make_batches
     from lisec_tpu.data.kitti import KittiDetection
@@ -90,14 +128,27 @@ def _fixture_batch(cfg: Config, batch_size: int, seed: int = 0):
 
 
 def bench_inference(cfg: Config, *, batch_size: int = 8,
-                    warmup: int = 2, iters: int = 20) -> Dict[str, float]:
-    """Inference throughput: end-to-end and device-resident."""
+                    warmup: int = 2, iters: int = 20,
+                    weights_path: str = "") -> Dict[str, float]:
+    """Inference throughput: end-to-end and device-resident.
+
+    ``weights_path`` (a ``save_weights_npz`` snapshot) restores TRAINED
+    weights: what a deployed detector costs. An untrained head's
+    sigmoid scores cluster near 0.5, so every one of nms_pre candidates
+    clears the score threshold and NMS runs its worst case every cloud
+    (measured 12.6 of 63.1 ms at b32); a trained head's scores are
+    sparse and NMS early-exits after ~ceil(D/block)+1 rounds. With a
+    snapshot the untrained number is also measured (device-only) and
+    reported as ``device_clouds_per_sec_untrained``."""
     from lisec_tpu.api import build_model
 
     from lisec_tpu.data.wire import pack_points_q16
 
     pipeline = build_model(cfg)
     state = pipeline.init_state(cfg.train.seed)
+    state_untrained = state if weights_path else None
+    if weights_path:
+        state = load_weights_npz(state, weights_path)
     batch = _fixture_batch(cfg, batch_size)
     points_np = batch["points"]
     mask_np = batch["point_mask"]
@@ -141,7 +192,7 @@ def bench_inference(cfg: Config, *, batch_size: int = 8,
             {"points": p, "point_mask": m})["boxes"])
     dt_dev = chain_time(dev_fn, (pts, mask), iters, floor)
 
-    return {
+    out = {
         "e2e_clouds_per_sec": batch_size / dt_e2e,
         "e2e_f32_clouds_per_sec": batch_size / dt_e2e_f32,
         "device_clouds_per_sec": batch_size / dt_dev,
@@ -151,6 +202,17 @@ def bench_inference(cfg: Config, *, batch_size: int = 8,
         "sync_floor_ms": 1e3 * floor,
         "batch_size": batch_size,
     }
+    if state_untrained is not None:
+        su = state_untrained
+
+        def dev_fn_u(p, m):
+            return jnp.sum(pipeline.predict(
+                su.params, su.batch_stats,
+                {"points": p, "point_mask": m})["boxes"])
+        dt_u = chain_time(dev_fn_u, (pts, mask), iters, floor)
+        out["device_clouds_per_sec_untrained"] = batch_size / dt_u
+        out["weights"] = weights_path
+    return out
 
 
 def bench_voxelize(cfg: Config, *, batch_size: int = 8,
@@ -245,8 +307,10 @@ def bench_second(*, batch_size: int = 4, iters: int = 10) -> Dict[str, float]:
 
 
 def run_benchmark(cfg: Config, *, batch_size: int = 8,
-                  include_second: bool | None = None) -> Dict:
-    inf = bench_inference(cfg, batch_size=batch_size)
+                  include_second: bool | None = None,
+                  weights_path: str = "") -> Dict:
+    inf = bench_inference(cfg, batch_size=batch_size,
+                          weights_path=weights_path)
     vox = bench_voxelize(cfg, batch_size=batch_size)
     sec: Dict[str, float] = {}
     if include_second is None:
@@ -279,6 +343,10 @@ def run_benchmark(cfg: Config, *, batch_size: int = 8,
         "unit": "clouds/s",
         "vs_baseline": round(value / NORTH_STAR_CLOUDS_PER_SEC, 4),
         "headline": "device_clouds_per_sec",
+        "headline_regime": ("trained snapshot (deployment score "
+                            "sparsity; untrained worst-case rides in "
+                            "detail)" if weights_path
+                            else "untrained weights (worst-case NMS)"),
         "e2e_clouds_per_sec": round(inf["e2e_clouds_per_sec"], 2),
         "device_clouds_per_sec": round(inf["device_clouds_per_sec"], 2),
         "detail": {**rnd(inf), **rnd(vox), **rnd(sec),

@@ -46,58 +46,23 @@ def _shifted_stack(img, half, fill):
     return jnp.stack(outs, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("window", "k", "num_classes",
-                                   "fill_depth", "interpret"))
-def knn_refine_batch(
-    point_range: jax.Array,    # (B, N)
-    pixel_uv: jax.Array,       # (B, N, 2) int32 (v, u)
-    image_range: jax.Array,    # (B, H, W)
-    image_labels: jax.Array,   # (B, H, W) int32
-    image_mask: jax.Array,     # (B, H, W) bool
-    *,
-    window: int = 5,
-    k: int = 5,
-    num_classes: int = 20,
-    cutoff: float = 1.0,
-    fill_depth: int = 32,
-    interpret: bool | None = None,
-) -> jax.Array:
-    """Batched gather-free refinement. Returns (B, N) int32 labels."""
-    from lisec_tpu.ops.sparse_conv import _monotone_spread
-
-    b, n = point_range.shape
-    h, w = image_range.shape[1:]
-    hw = h * w
-    half = window // 2
-    s2 = window * window
-    assert 2 * s2 <= 128, "window too large for the 128-lane table"
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-
-    # 1. image-space neighborhood table (B, HW, 2*S²). Labels and
-    #    validity share one packed channel (valid ? label+1 : 0) —
-    #    round 5: the table's DMA / spread / fill costs all scale with
-    #    channel width, and 2*S² = 50 pads to a 64-lane table instead
-    #    of 3*S² = 75 padding to 128, halving the HBM traffic of every
-    #    table-shaped op below (the op was 42.7 ms/batch-8, dominated
-    #    by exactly that traffic — benchmarks/profile_rangeseg.py).
+def _build_table(image_range, image_labels, image_mask, half, s2):
+    """(B, HW, 2*S²) neighborhood table: [S² ranges | S² label+1]."""
+    b, h, w = image_range.shape
     nbr_r = _shifted_stack(image_range, half, 0.0)
     lbl_enc = jnp.where(image_mask,
                         image_labels.astype(jnp.float32) + 1.0, 0.0)
     nbr_l = _shifted_stack(lbl_enc, half, 0.0)
-    table = jnp.concatenate(
-        [nbr_r, nbr_l], axis=-1).reshape(b, hw, 2 * s2)
+    return jnp.concatenate([nbr_r, nbr_l], axis=-1).reshape(b, h * w,
+                                                            2 * s2)
 
-    # 2. co-sort points by pixel id (original index rides along).
-    pix = pixel_uv[..., 0] * w + pixel_uv[..., 1]       # (B, N)
-    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
-    pix_s, idx_s, range_s = jax.lax.sort(
-        (pix, idx, point_range), dimension=1, num_keys=2)
 
-    # 3. deliver each occupied pixel's row to its first point. The
-    #    target positions are found with the same tag-merge used by the
-    #    sparse-conv rulebook: rows (tag 0) sort immediately before
-    #    their pixel's first point (tag 1, lowest index first).
+def _deliver_rows(table, pix_s, hw, n, interpret):
+    """Deliver each occupied pixel's table row to its FIRST point (in
+    pixel-sorted point order) via tag-merge + monotone spread."""
+    from lisec_tpu.ops.sparse_conv import _monotone_spread
+
+    b = table.shape[0]
     cells = jnp.concatenate(
         [jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw)),
          pix_s], axis=1)
@@ -124,11 +89,12 @@ def knn_refine_batch(
     key = jnp.where(t_s == 0, c_s, hw + n)
     _, tgt = jax.lax.sort((key, row_target), dimension=1, num_keys=1)
     tgt = tgt[:, :hw]                                   # (B, HW)
+    return _monotone_spread(table, tgt, tgt >= 0, n, interpret)
 
-    first_rows = _monotone_spread(table, tgt, tgt >= 0, n, interpret)
-    # (B, N, 3*s2) — zero rows everywhere except each segment's start.
 
-    # Bounded segmented forward fill (channels are all >= 0).
+def _forward_fill(first_rows, pix_s, fill_depth):
+    """Bounded segmented forward fill (channels are all >= 0)."""
+    b, n = pix_s.shape
     prev = jnp.concatenate(
         [jnp.full((b, 1), -1, pix_s.dtype), pix_s[:, :-1]], axis=1)
     is_start = pix_s != prev
@@ -146,8 +112,11 @@ def knn_refine_batch(
         filled = jnp.where((dist >= sh)[..., None],
                            jnp.maximum(filled, rolled), filled)
         sh *= 2
+    return filled
 
-    # 4. flat k-NN vote (labels unpacked from the shared channel).
+
+def _vote(filled, range_s, s2, k, num_classes, cutoff):
+    """Flat k-NN select + class vote. Returns (refined, has_vote)."""
     nr = filled[..., :s2]
     nle = filled[..., s2:2 * s2]                        # 0 or label+1
     nl = jnp.maximum(nle - 1.0, 0.0)
@@ -164,6 +133,60 @@ def knn_refine_batch(
                        dtype=jnp.float32) * wgt[..., None], axis=2)
     refined = jnp.argmax(votes, axis=-1).astype(jnp.int32)
     has_vote = jnp.sum(wgt, axis=-1) > 0
+    return refined, has_vote
+
+
+@partial(jax.jit, static_argnames=("window", "k", "num_classes",
+                                   "fill_depth", "interpret"))
+def knn_refine_batch(
+    point_range: jax.Array,    # (B, N)
+    pixel_uv: jax.Array,       # (B, N, 2) int32 (v, u)
+    image_range: jax.Array,    # (B, H, W)
+    image_labels: jax.Array,   # (B, H, W) int32
+    image_mask: jax.Array,     # (B, H, W) bool
+    *,
+    window: int = 5,
+    k: int = 5,
+    num_classes: int = 20,
+    cutoff: float = 1.0,
+    fill_depth: int = 32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Batched gather-free refinement. Returns (B, N) int32 labels."""
+    b, n = point_range.shape
+    h, w = image_range.shape[1:]
+    hw = h * w
+    half = window // 2
+    s2 = window * window
+    assert 2 * s2 <= 128, "window too large for the 128-lane table"
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    # 1. image-space neighborhood table (B, HW, 2*S²). Labels and
+    #    validity share one packed channel (valid ? label+1 : 0) —
+    #    round 5: the table's DMA / spread / fill costs all scale with
+    #    channel width, and 2*S² = 50 pads to a 64-lane table instead
+    #    of 3*S² = 75 padding to 128, halving the HBM traffic of every
+    #    table-shaped op below (benchmarks/profile_rangeseg.py --knn
+    #    attributes the stage costs).
+    table = _build_table(image_range, image_labels, image_mask, half, s2)
+
+    # 2. co-sort points by pixel id (original index rides along).
+    pix = pixel_uv[..., 0] * w + pixel_uv[..., 1]       # (B, N)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    pix_s, idx_s, range_s = jax.lax.sort(
+        (pix, idx, point_range), dimension=1, num_keys=2)
+
+    # 3. deliver each occupied pixel's row to its first point (the
+    #    tag-merge used by the sparse-conv rulebook), then forward-fill
+    #    down each pixel's point segment.
+    first_rows = _deliver_rows(table, pix_s, hw, n, interpret)
+    # (B, N, 2*s2) — zero rows everywhere except each segment's start.
+    filled = _forward_fill(first_rows, pix_s, fill_depth)
+
+    # 4. flat k-NN vote (labels unpacked from the shared channel).
+    refined, has_vote = _vote(filled, range_s, s2, k, num_classes,
+                              cutoff)
 
     # Fallback to the projected label (pre-refinement behavior) for
     # points with no valid vote — empty/cutoff window, or a pixel

@@ -41,3 +41,29 @@ def test_exact_resume(tmp_path):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         state_full.params, state_resumed.params)
+
+
+def test_weights_npz_roundtrip(tmp_path):
+    """save_weights_npz -> load_weights_npz restores params and
+    batch_stats exactly into a freshly-initialized state (the trained
+    snapshot path bench.py uses for the deployment-regime measurement).
+    """
+    from lisec_tpu.api import build_model
+    from lisec_tpu.bench_lib import load_weights_npz, save_weights_npz
+
+    cfg = load_config("configs/pointnet_modelnet40_tiny.yaml")
+    pipeline = build_model(cfg)
+    trained = pipeline.init_state(seed=7)    # stand-in "trained" state
+    path = str(tmp_path / "w.npz")
+    save_weights_npz(trained, path)
+
+    fresh = pipeline.init_state(seed=0)
+    restored = load_weights_npz(fresh, path)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        trained.params, restored.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        trained.batch_stats, restored.batch_stats)
