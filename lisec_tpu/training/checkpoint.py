@@ -10,6 +10,9 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
+import jax.numpy as jnp
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -39,8 +42,17 @@ class CheckpointManager:
             step = self.manager.latest_step()
         if step is None:
             return None
-        return self.manager.restore(
-            step, args=ocp.args.StandardRestore(state_template))
+        # Restore to HOST numpy, then one explicit device_put per leaf.
+        # On the tunneled axon backend a device->host pull from an
+        # orbax-restored device buffer can deadlock (int(state.step)
+        # blocked forever in jax.Array.__int__, loop.py start_step —
+        # reproduced solo 2026-08-19); restoring via host makes every
+        # device array a fresh ordinary transfer and keeps later host
+        # pulls (start_step, weight snapshots) off the orbax buffers.
+        host_template = jax.tree.map(np.asarray, state_template)
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore(host_template))
+        return jax.tree.map(jnp.asarray, restored)
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
