@@ -29,6 +29,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--gap", action="store_true",
+                    help="composed-stage brackets for the full-vs-sum "
+                         "gap")
     ap.add_argument("--knn", action="store_true",
                     help="also attribute O13's sub-stages")
     args = ap.parse_args()
@@ -88,16 +91,51 @@ def main():
 
     def refine_only(pr_range, im0):
         return jnp.sum(knn_refine_batch(
-            pr_range, proj.pixel_uv, im0, plabels, proj.image_mask,
+            pr_range, proj.pixel_pix, im0, plabels, proj.image_mask,
             window=pipeline.knn_window, k=pipeline.knn_k,
             num_classes=pipeline.num_classes).astype(jnp.float32))
     rec("knn_refine", refine_only, (proj.point_range, img[..., 0]))
+
+    if args.gap:
+        # Composed-stage brackets for the full-vs-sum gap (~28-35 ms
+        # both sessions it was seen): the isolated stages above get
+        # PRE-STAGED contiguous inputs, while the composed program
+        # feeds knn_refine strided slices of the projection outputs
+        # and pays every intermediate's materialization. Bracket it:
+        # everything-but-conv vs conv+argmax; their sum against full
+        # localizes which boundary owns the gap.
+        def proj_knn(p, m):
+            pr = pipeline._project(p, m)
+            pl = jnp.zeros_like(pr.image_mask, dtype=jnp.int32)
+            return jnp.sum(knn_refine_batch(
+                pr.point_range, pr.pixel_pix, pr.image[..., 0], pl,
+                pr.image_mask, window=pipeline.knn_window,
+                k=pipeline.knn_k,
+                num_classes=pipeline.num_classes).astype(jnp.float32))
+        rec("proj_plus_knn", proj_knn, (pts, mask))
+
+        def conv_argmax(im):
+            logits = pipeline.model.apply(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats}, im, train=False)
+            return jnp.sum(jnp.argmax(logits, -1).astype(jnp.float32))
+        rec("conv_argmax", conv_argmax, (img,))
+
+        def knn_strided(p, m):
+            # knn_refine on the REAL (strided) projection outputs but
+            # with the projection itself hoisted out via pre-staging:
+            # isolates the strided-slice cost from the proj cost.
+            return jnp.sum(knn_refine_batch(
+                proj.point_range, proj.pixel_pix, p[..., 0], plabels,
+                m, window=pipeline.knn_window, k=pipeline.knn_k,
+                num_classes=pipeline.num_classes).astype(jnp.float32))
+        rec("knn_on_strided_img", knn_strided, (img, proj.image_mask))
 
     if args.knn:
         # O13 sub-stage attribution (separately-timed stages lose
         # fusion — sum > whole is expected; the RATIOS are the signal).
         from lisec_tpu.ops.knn_refine import (
-            _build_table, _deliver_rows, _forward_fill, _vote)
+            _build_table_cols, _deliver_rows, _forward_fill, _vote)
 
         window, k = pipeline.knn_window, pipeline.knn_k
         half, s2 = window // 2, window * window
@@ -106,16 +144,16 @@ def main():
         im0 = img[..., 0]
 
         def tbl(im0):
-            return jnp.sum(_build_table(
+            return jnp.sum(_build_table_cols(
                 im0, plabels, proj.image_mask, half, s2))
         rec("knn_table", tbl, (im0,))
 
-        pix = proj.pixel_uv[..., 0] * w + proj.pixel_uv[..., 1]
+        pix = proj.pixel_pix
         idx = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[None], pix.shape)
         pix_s, _, range_s = jax.lax.sort(
             (pix, idx, proj.point_range), dimension=1, num_keys=2)
-        table = _build_table(im0, plabels, proj.image_mask, half, s2)
+        table = _build_table_cols(im0, plabels, proj.image_mask, half, s2)
 
         def deliver(t):
             return jnp.sum(_deliver_rows(t, pix_s, hw, n, False))

@@ -91,7 +91,7 @@ def main():
                 pipeline.class_sizes, pipeline.class_z, gtb, gtc, gtm,
                 feature_map_size=pipeline.fmap,
                 pc_range=tuple(cfg.voxel.point_cloud_range),
-                window=pipeline.assign_window)
+                window=pipeline.assign_window, cols=True)
         else:
             out = jax.vmap(lambda b, c, m: assign_targets(
                 pipeline.anchors, pipeline.anchor_classes,

@@ -52,6 +52,8 @@ class BudgetConfig:
                                      # (0 = full rows; see ops/nms.py)
     nms_block: int = 16              # emissions per block-greedy round
     nms_select: str = "topk"         # per-round block select: topk|scan
+    nms_class_parallel: bool = True  # one greedy stream per class
+                                     # (vmapped; exact — see ops/nms.py)
     max_rulebook_pairs: int = 65536  # per kernel-offset pair budget (O7/O8)
 
 

@@ -38,6 +38,30 @@ def encode_boxes(boxes: jax.Array, anchors: jax.Array) -> jax.Array:
     return out
 
 
+def encode_boxes_cols(boxes: jax.Array, anchors: jax.Array) -> jax.Array:
+    """:func:`encode_boxes` on CHANNEL-LEADING columns: both
+    (..., 7, N) -> (..., 7, N).
+
+    Same arithmetic, different layout: a (N, 7) array tiles its 7-wide
+    minor dim to 128 lanes on TPU (18x HBM/VPU bloat on every pass —
+    the round-5 train-step profile put ~9.5 ms/batch-4 of loss glue on
+    such layouts), while (7, N) puts the box channels on SUBLANES
+    (7 -> 8, ~1.14x) and keeps N on dense 128-lane tiles.
+    """
+    xa, ya, za, la, wa, ha, ra = (anchors[..., i, :] for i in range(7))
+    xg, yg, zg, lg, wg, hg, rg = (boxes[..., i, :] for i in range(7))
+    diag = jnp.sqrt(la * la + wa * wa) + _EPS
+    return jnp.stack([
+        (xg - xa) / diag,
+        (yg - ya) / diag,
+        (zg - za) / (ha + _EPS),
+        jnp.log(lg / (la + _EPS) + _EPS),
+        jnp.log(wg / (wa + _EPS) + _EPS),
+        jnp.log(hg / (ha + _EPS) + _EPS),
+        rg - ra,
+    ], axis=-2)
+
+
 @jax.jit
 def decode_boxes(deltas: jax.Array, anchors: jax.Array) -> jax.Array:
     """Inverse of :func:`encode_boxes`. Both (..., 7)."""

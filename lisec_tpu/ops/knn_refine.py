@@ -9,7 +9,7 @@ data-dependent movement sits on the ~2 GB/s ceiling):
 
   1. The S² pixel neighborhoods are built IMAGE-SPACE as shifted
      copies (edge-clamped pad+slice — pure dense copies), packed into a
-     (H*W, 128)-lane table: [S² ranges | S² labels | S² valids].
+     (2*S², H*W) COLUMN table: [S² ranges | S² labels].
   2. Points co-sort by pixel id (multi-operand `lax.sort`, ~free).
   3. Each OCCUPIED pixel's table row is delivered to its FIRST point
      via the monotone unique-target spread (the same Pallas slab-paint
@@ -20,6 +20,18 @@ data-dependent movement sits on the ~2 GB/s ceiling):
      behavior — rather than paying an unbounded scan.
   4. The k-NN select and class vote run in flat (N, S²) layout with
      one-hot arithmetic — no vote scatters.
+
+Round-5 layout rework (the composed-vs-isolated gap profile,
+benchmarks/profile_rangeseg.py --gap, measured ~22 ms/batch-8 of
+composition overhead that the isolated stage timings hid by hoisting
+label/pixel-dependent subtrees): every intermediate with a small minor
+dim ((B, H, W, S²) shifted stacks, (B, N, 2) pixel uv) tile-pads its
+last dim to 128 lanes on TPU. The neighborhood table is therefore
+built CHANNEL-LEADING ((B, 2*S², H*W): channels on sublanes, pixels on
+dense 128-lane tiles), the spread consumes it column-wise, callers
+pass precomputed FLAT pixel ids (B, N) instead of (B, N, 2) uv, and
+the projected-label fallback gathers with the already-sorted pixel
+stream instead of re-sorting.
 
 Static shapes throughout; runs inside the jitted inference program so
 per-POINT labels leave the device (SURVEY.md §3.5).
@@ -33,8 +45,10 @@ import jax
 import jax.numpy as jnp
 
 
-def _shifted_stack(img, half, fill):
-    """(B, H, W) -> (B, H, W, S²) edge-padded shifted copies."""
+def _shifted_stack_cols(img, half, fill):
+    """(B, H, W) -> (B, S², H, W) edge-padded shifted copies, stacked
+    on a LEADING channel axis (each copy is a compact (B, H, W) slice;
+    stacking them on the minor axis would tile-pad S² -> 128 lanes)."""
     b, h, w = img.shape
     padded = jnp.pad(img, ((0, 0), (half, half), (half, half)),
                      mode="constant", constant_values=fill)
@@ -43,26 +57,26 @@ def _shifted_stack(img, half, fill):
         for du in range(-half, half + 1):
             outs.append(jax.lax.dynamic_slice(
                 padded, (0, half + dv, half + du), (b, h, w)))
-    return jnp.stack(outs, axis=-1)
+    return jnp.stack(outs, axis=1)
 
 
-def _build_table(image_range, image_labels, image_mask, half, s2):
-    """(B, HW, 2*S²) neighborhood table: [S² ranges | S² label+1]."""
+def _build_table_cols(image_range, image_labels, image_mask, half, s2):
+    """(B, 2*S², HW) column table: [S² ranges | S² label+1]."""
     b, h, w = image_range.shape
-    nbr_r = _shifted_stack(image_range, half, 0.0)
+    nbr_r = _shifted_stack_cols(image_range, half, 0.0)
     lbl_enc = jnp.where(image_mask,
                         image_labels.astype(jnp.float32) + 1.0, 0.0)
-    nbr_l = _shifted_stack(lbl_enc, half, 0.0)
-    return jnp.concatenate([nbr_r, nbr_l], axis=-1).reshape(b, h * w,
-                                                            2 * s2)
+    nbr_l = _shifted_stack_cols(lbl_enc, half, 0.0)
+    return jnp.concatenate([nbr_r, nbr_l], axis=1).reshape(
+        b, 2 * s2, h * w)
 
 
-def _deliver_rows(table, pix_s, hw, n, interpret):
+def _deliver_rows(table_cols, pix_s, hw, n, interpret):
     """Deliver each occupied pixel's table row to its FIRST point (in
     pixel-sorted point order) via tag-merge + monotone spread."""
-    from lisec_tpu.ops.sparse_conv import _monotone_spread
+    from lisec_tpu.ops.sparse_conv import _monotone_spread_cols
 
-    b = table.shape[0]
+    b = table_cols.shape[0]
     cells = jnp.concatenate(
         [jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw)),
          pix_s], axis=1)
@@ -89,7 +103,7 @@ def _deliver_rows(table, pix_s, hw, n, interpret):
     key = jnp.where(t_s == 0, c_s, hw + n)
     _, tgt = jax.lax.sort((key, row_target), dimension=1, num_keys=1)
     tgt = tgt[:, :hw]                                   # (B, HW)
-    return _monotone_spread(table, tgt, tgt >= 0, n, interpret)
+    return _monotone_spread_cols(table_cols, tgt, tgt >= 0, n, interpret)
 
 
 def _forward_fill(first_rows, pix_s, fill_depth):
@@ -140,7 +154,7 @@ def _vote(filled, range_s, s2, k, num_classes, cutoff):
                                    "fill_depth", "interpret"))
 def knn_refine_batch(
     point_range: jax.Array,    # (B, N)
-    pixel_uv: jax.Array,       # (B, N, 2) int32 (v, u)
+    pixel_pix: jax.Array,      # (B, N) int32 flat pixel id v*W + u
     image_range: jax.Array,    # (B, H, W)
     image_labels: jax.Array,   # (B, H, W) int32
     image_mask: jax.Array,     # (B, H, W) bool
@@ -152,7 +166,12 @@ def knn_refine_batch(
     fill_depth: int = 32,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Batched gather-free refinement. Returns (B, N) int32 labels."""
+    """Batched gather-free refinement. Returns (B, N) int32 labels.
+
+    ``pixel_pix`` is the FLAT pixel id per point (``v * W + u``, e.g.
+    ``RangeImage.pixel_pix`` from ops/range_proj.py) — a (B, N, 2) uv
+    array would tile-pad its minor dim 2 -> 128 lanes on every pass.
+    """
     b, n = point_range.shape
     h, w = image_range.shape[1:]
     hw = h * w
@@ -162,25 +181,24 @@ def knn_refine_batch(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    # 1. image-space neighborhood table (B, HW, 2*S²). Labels and
-    #    validity share one packed channel (valid ? label+1 : 0) —
+    # 1. image-space neighborhood COLUMN table (B, 2*S², HW). Labels
+    #    and validity share one packed channel (valid ? label+1 : 0) —
     #    round 5: the table's DMA / spread / fill costs all scale with
-    #    channel width, and 2*S² = 50 pads to a 64-lane table instead
-    #    of 3*S² = 75 padding to 128, halving the HBM traffic of every
-    #    table-shaped op below (benchmarks/profile_rangeseg.py --knn
-    #    attributes the stage costs).
-    table = _build_table(image_range, image_labels, image_mask, half, s2)
+    #    channel width, and 2*S² = 50 rides 56 sublanes in the column
+    #    layout (the round-4 row form padded every image-space
+    #    intermediate's minor dim to 128 lanes).
+    table_cols = _build_table_cols(
+        image_range, image_labels, image_mask, half, s2)
 
     # 2. co-sort points by pixel id (original index rides along).
-    pix = pixel_uv[..., 0] * w + pixel_uv[..., 1]       # (B, N)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
     pix_s, idx_s, range_s = jax.lax.sort(
-        (pix, idx, point_range), dimension=1, num_keys=2)
+        (pixel_pix, idx, point_range), dimension=1, num_keys=2)
 
     # 3. deliver each occupied pixel's row to its first point (the
     #    tag-merge used by the sparse-conv rulebook), then forward-fill
     #    down each pixel's point segment.
-    first_rows = _deliver_rows(table, pix_s, hw, n, interpret)
+    first_rows = _deliver_rows(table_cols, pix_s, hw, n, interpret)
     # (B, N, 2*s2) — zero rows everywhere except each segment's start.
     filled = _forward_fill(first_rows, pix_s, fill_depth)
 
@@ -192,12 +210,13 @@ def knn_refine_batch(
     # points with no valid vote — empty/cutoff window, or a pixel
     # segment deeper than fill_depth (whose rows are zero-filled), so
     # the center lane cannot serve as the fallback. One scalar gather
-    # per point (N x 4 bytes) is the only remaining gather in the op.
-    fb = jax.vmap(lambda im, uv: im[uv[:, 0], uv[:, 1]])(
-        image_labels, pixel_uv)                         # (B, N)
-    # fb is in ORIGINAL point order; bring it to sorted order via the
-    # same permutation applied to the points.
-    _, fb_s = jax.lax.sort((pix, idx, fb), dimension=1, num_keys=2)[1:]
+    # per point (N x 4 bytes) is the only remaining gather in the op —
+    # taken directly in SORTED order with pix_s (the round-4 form
+    # gathered in original order and paid a third full co-sort to
+    # permute the result).
+    lab_flat = image_labels.reshape(b, hw)
+    fb_s = jnp.take_along_axis(
+        lab_flat, jnp.clip(pix_s, 0, hw - 1), axis=1)       # (B, N)
     refined_s = jnp.where(has_vote, refined, fb_s)
 
     # 5. back to original point order.
@@ -217,8 +236,12 @@ def knn_refine(
     num_classes: int = 20,
     cutoff: float = 1.0,
 ) -> jax.Array:
-    """Single-cloud wrapper of :func:`knn_refine_batch`."""
+    """Single-cloud wrapper of :func:`knn_refine_batch` (takes (N, 2)
+    uv for API parity with the reference class)."""
+    w = image_range.shape[-1]
+    pix = pixel_uv[:, 0].astype(jnp.int32) * w \
+        + pixel_uv[:, 1].astype(jnp.int32)
     return knn_refine_batch(
-        point_range[None], pixel_uv[None], image_range[None],
+        point_range[None], pix[None], image_range[None],
         image_labels[None], image_mask[None],
         window=window, k=k, num_classes=num_classes, cutoff=cutoff)[0]

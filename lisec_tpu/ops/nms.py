@@ -39,7 +39,8 @@ class NMSResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("nms_pre", "nms_post", "block",
-                                   "k_near", "select", "_ablate"))
+                                   "k_near", "select", "class_parallel",
+                                   "_ablate"))
 def rotated_nms(
     boxes: jax.Array,
     scores: jax.Array,
@@ -52,6 +53,7 @@ def rotated_nms(
     block: int = 16,
     k_near: int = 0,
     select: str = "topk",
+    class_parallel: int = 0,
     _ablate: str = "",
 ) -> NMSResult:
     """Greedy class-aware rotated NMS over one cloud's detections.
@@ -67,6 +69,18 @@ def rotated_nms(
     already score-sorts the candidates, so the top-``block`` alive ones
     are the FIRST ``block`` alive slots in index order — a cumsum
     compaction, no per-round sort; same result including ties).
+    ``class_parallel`` > 0 (the class count) runs one greedy stream PER
+    CLASS, vmapped, and merges by score: classes never suppress each
+    other, so per-class greedy is exactly global greedy restricted to
+    the class and the merged top-``nms_post`` set is identical
+    (emission order between EXACTLY-tied scores of different classes
+    may differ — measure-zero for float scores). The win is structural
+    for a TRAINED head: the while_loop trip count drops from
+    ceil(sum_c D_c / block) to max_c ceil(D_c / block) rounds, and the
+    loop is round-LATENCY-bound in the deployment regime (measured
+    round 5: an untrained head's near-identical boxes all die in ~2
+    rounds — 12.6 ms/b32 — while a trained head's spread detections
+    forced ~24 ms/b32 of sequential rounds).
     ``_ablate`` is profiling-only ("skip_iou", "fixed_near",
     comma-separable) and changes results.
     """
@@ -116,7 +130,7 @@ def rotated_nms(
         return (j < nms_post) & cont
 
     def body(state):
-        j, _, alive, out_idx, out_valid = state
+        j, _, alive, out_idx, out_valid = state  # alive: this stream's
         if select == "scan":
             # Candidates are already score-sorted descending, so this
             # round's top-`block` alive set is the first `block` alive
@@ -203,16 +217,33 @@ def rotated_nms(
         # too — stopping is exactly equivalent to running on.
         return j, bok[block - 1], alive, out_idx, out_valid
 
-    out_idx = jnp.zeros((nms_post,), jnp.int32)
-    out_valid = jnp.zeros((nms_post,), bool)
-    # while_loop instead of a fixed fori_loop: once the masked max drops
-    # to/below the score threshold it can never recover (scores only get
-    # masked further), so stopping early is EXACTLY equivalent to
-    # running all rounds — a scene with D real detections pays
-    # ~ceil(D/block)+1 latency-bound rounds.
-    _, _, _, out_idx, out_valid = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.asarray(True), alive, out_idx, out_valid))
+    def run_stream(alive0):
+        # while_loop instead of a fixed fori_loop: once the masked max
+        # drops to/below the score threshold it can never recover
+        # (scores only get masked further), so stopping early is EXACTLY
+        # equivalent to running all rounds — a scene with D real
+        # detections pays ~ceil(D/block)+1 latency-bound rounds.
+        _, _, _, oi, ov = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.asarray(True), alive0,
+             jnp.zeros((nms_post,), jnp.int32),
+             jnp.zeros((nms_post,), bool)))
+        return oi, ov
+
+    if class_parallel > 1:
+        cls_ids = jnp.arange(class_parallel, dtype=top_labels.dtype)
+        alive_c = alive[None, :] & (top_labels[None, :]
+                                    == cls_ids[:, None])   # (C, pre)
+        oi_c, ov_c = jax.vmap(run_stream)(alive_c)         # (C, post)
+        # Merge the per-class emissions by score (each stream already
+        # descends, so the global top-nms_post by score is the global
+        # greedy output set in the global emission order).
+        sc = jnp.where(ov_c, top_scores[oi_c], neg_inf).reshape(-1)
+        _, mi = jax.lax.top_k(sc, nms_post)
+        out_idx = oi_c.reshape(-1)[mi]
+        out_valid = ov_c.reshape(-1)[mi]
+    else:
+        out_idx, out_valid = run_stream(alive)
 
     vb = jnp.where(out_valid[:, None], top_boxes[out_idx], 0.0)
     vs = jnp.where(out_valid, top_scores[out_idx], 0.0)

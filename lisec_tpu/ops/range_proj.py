@@ -22,6 +22,9 @@ class RangeImage(NamedTuple):
     pixel_uv: jax.Array     # (N, 2) int32 (v, u) per point (clamped)
     point_range: jax.Array  # (N,) float
     winner_idx: jax.Array   # (H, W) int32 point index per pixel (or N)
+    pixel_pix: jax.Array    # (N,) int32 flat pixel id v*W + u (clamped;
+                            # what O13 consumes — the (N, 2) uv form
+                            # tile-pads its minor dim 2 -> 128 lanes)
 
 
 @partial(jax.jit, static_argnames=("height", "width"))
@@ -80,6 +83,7 @@ def range_project(
         pixel_uv=jnp.stack([v, u], axis=-1),
         point_range=r,
         winner_idx=winner.reshape(height, width),
+        pixel_pix=pix,
     )
 
 
@@ -174,4 +178,5 @@ def range_project_batch(
         pixel_uv=jnp.stack([v, u], axis=-1),
         point_range=r,
         winner_idx=winner.reshape(b, height, width),
+        pixel_pix=v * width + u,
     )

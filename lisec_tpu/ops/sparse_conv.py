@@ -437,6 +437,27 @@ def _monotone_spread(vals: jax.Array, targets: jax.Array, valid: jax.Array,
     return table[..., :c]                               # (B', num_out, C)
 
 
+def _monotone_spread_cols(vals_cols: jax.Array, targets: jax.Array,
+                          valid: jax.Array, num_out: int,
+                          interpret: bool) -> jax.Array:
+    """:func:`_monotone_spread` taking CHANNEL-LEADING values
+    (B', C, N) — the spread kernel streams (C, window) blocks, so a
+    column-building caller (e.g. O13's neighborhood table) skips the
+    (B', N, C) materialization (minor dim C tile-pads to 128 lanes)
+    AND the transpose. Output stays (B', num_out, C)."""
+    from lisec_tpu.ops.pallas.spread_kernel import spread_accumulate
+
+    bb, c, n = vals_cols.shape
+    cp = -(-c // 8) * 8
+    vm = jnp.where(valid[:, None, :], vals_cols.astype(jnp.float32), 0.0)
+    vm = _pad_axis(vm, 1, cp, 0.0)
+    tgt = jax.lax.cummax(jnp.where(valid, targets, -1), axis=1)
+    tgt = jnp.maximum(tgt, 0).astype(jnp.int32)
+    table = spread_accumulate(
+        vm[:, None], tgt[:, None], num_out=num_out, interpret=interpret)
+    return table[..., :c]                               # (B', num_out, C)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _spread_conv(features, weights, out_of, v_out, interpret, pad_c):
     """Forward: K batched MXU GEMMs, then ONE K-reduction spread — all

@@ -36,7 +36,7 @@ from lisec_tpu.training.assigner import (
     assign_targets_windowed, assign_targets_windowed_batched,
     generate_anchors)
 from lisec_tpu.training.losses import (
-    cross_entropy, sigmoid_focal_loss, sin_difference, smooth_l1)
+    sigmoid_focal_loss, sin_difference_cols, smooth_l1)
 
 register_model("pointpillars")(PointPillars)
 
@@ -189,7 +189,7 @@ class PointPillarsPipeline(Pipeline):
                 batch["gt_boxes"], batch["gt_classes"], batch["gt_mask"],
                 feature_map_size=self.fmap,
                 pc_range=tuple(self.cfg.voxel.point_cloud_range),
-                window=self.assign_window)
+                window=self.assign_window, cols=True)
         else:
             assign = jax.vmap(lambda b, c, m: assign_targets(
                 self.anchors, self.anchor_classes, self.pos_thr,
@@ -197,30 +197,46 @@ class PointPillarsPipeline(Pipeline):
                 row_chunk=self.assign_row_chunk))(
                     batch["gt_boxes"], batch["gt_classes"],
                     batch["gt_mask"])
+            assign = assign._replace(
+                reg_targets=assign.reg_targets.transpose(0, 2, 1))
 
         pos = assign.positive                              # (B, A)
         num_pos = jnp.maximum(jnp.sum(pos), 1.0)
 
+        # The whole loss tail runs CHANNEL-LEADING: head preds transpose
+        # ONCE to (B, c, A) (channels on sublanes, anchors on dense
+        # 128-lane tiles) and every elementwise pass below is compact.
+        # The row layouts ((B, A, c) with c = 3/7/2 minor) tile-pad
+        # c -> 128 on TPU; the round-5 train profile measured ~9.5 ms/
+        # batch-4 of loss glue on them (loss_fwd 43.0 vs
+        # assigner+network 33.5 — benchmarks/profile_train.py).
+
         # Classification: focal loss, one-vs-all; bg = all-zero targets.
         cls_t = assign.cls_targets                         # (B, A)
-        onehot = jax.nn.one_hot(cls_t - 1, self.num_classes,
-                                dtype=preds["cls"].dtype)
-        onehot = jnp.where((cls_t > 0)[..., None], onehot, 0.0)
-        focal = sigmoid_focal_loss(preds["cls"], onehot)
-        valid = (cls_t >= 0)[..., None]
+        cls_p = preds["cls"].transpose(0, 2, 1)            # (B, C, A)
+        cls_ids = jnp.arange(self.num_classes,
+                             dtype=cls_t.dtype)[None, :, None]
+        onehot = (cls_t[:, None, :] == cls_ids + 1).astype(cls_p.dtype)
+        focal = sigmoid_focal_loss(cls_p, onehot)
+        valid = (cls_t >= 0)[:, None, :]
         cls_loss = jnp.sum(jnp.where(valid, focal, 0.0)) / num_pos
 
-        # Localization: smooth-L1 on encoded residuals with sin-diff.
-        pred_box, target_box = sin_difference(
-            preds["box"], assign.reg_targets)
+        # Localization: smooth-L1 on encoded residuals with sin-diff
+        # ((B, 7, A) columns straight from the assigner).
+        pred_box, target_box = sin_difference_cols(
+            preds["box"].transpose(0, 2, 1), assign.reg_targets)
         loc = smooth_l1(pred_box, target_box)
         loc_loss = jnp.sum(
-            jnp.where(pos[..., None], loc, 0.0)) / num_pos
+            jnp.where(pos[:, None, :], loc, 0.0)) / num_pos
 
-        # Direction classifier on positives.
-        dir_ce = cross_entropy(
-            preds["dir"].reshape(-1, 2),
-            jnp.where(pos, assign.dir_targets, -1).reshape(-1))
+        # Direction classifier on positives. Two-logit softmax CE
+        # reduces to softplus(l_other - l_target) — one (B, A) pass,
+        # no (B, A, 2) layout, same value as the softmax form.
+        dir_p = preds["dir"].transpose(0, 2, 1)            # (B, 2, A)
+        d = dir_p[:, 1] - dir_p[:, 0]
+        ce = jax.nn.softplus(jnp.where(assign.dir_targets == 1, -d, d))
+        dir_ce = jnp.sum(jnp.where(pos, ce, 0.0)) \
+            / jnp.maximum(jnp.sum(pos), 1)
 
         w = self.loss_weights
         total = (w["cls"] * cls_loss + w["loc"] * loc_loss
@@ -274,6 +290,9 @@ class PointPillarsPipeline(Pipeline):
             k_near=self.cfg.budget.nms_near,
             block=self.cfg.budget.nms_block,
             select=self.cfg.budget.nms_select,
+            class_parallel=(self.num_classes
+                            if self.cfg.budget.nms_class_parallel
+                            and self.num_classes > 1 else 0),
         ))(boxes, sel_scores, labels)
         return {
             "boxes": nms.boxes,

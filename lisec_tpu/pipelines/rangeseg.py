@@ -113,7 +113,7 @@ class RangeSegPipeline(Pipeline):
         pixel_labels = jnp.argmax(logits, -1).astype(jnp.int32)
 
         point_labels = knn_refine_batch(
-            proj.point_range, proj.pixel_uv, proj.image[..., 0],
+            proj.point_range, proj.pixel_pix, proj.image[..., 0],
             pixel_labels, proj.image_mask,
             window=self.knn_window, k=self.knn_k,
             num_classes=self.num_classes)

@@ -273,7 +273,7 @@ def assign_targets_windowed(
 
 
 @partial(jax.jit, static_argnames=("feature_map_size", "pc_range",
-                                   "window"))
+                                   "window", "cols"))
 def assign_targets_windowed_batched(
     anchors: jax.Array,          # (A, 7) flat anchor constants
     anchor_classes: jax.Array,   # (A,) int32
@@ -288,6 +288,7 @@ def assign_targets_windowed_batched(
     feature_map_size: Tuple[int, int],
     pc_range: Tuple[float, ...],
     window: int = 32,
+    cols: bool = False,          # reg_targets as (B, 7, A) columns
 ) -> AssignResult:
     """Batched windowed assignment with SORT-based per-anchor reduction
     — same outputs as :func:`assign_targets_windowed`, no scalar
@@ -387,16 +388,28 @@ def assign_targets_windowed_batched(
     negative = (best_iou < neg_thr) & ~positive
 
     onehot = jax.nn.one_hot(best_gt, m, dtype=jnp.float32)  # (B, A, M)
-    matched_boxes = jnp.einsum("bam,bmc->bac", onehot, gt_boxes)
     matched_cls = jnp.round(jnp.einsum(
         "bam,bm->ba", onehot, gt_classes.astype(jnp.float32))
     ).astype(jnp.int32)
-    reg_targets = encode_boxes(
-        matched_boxes.reshape(-1, 7),
-        jnp.broadcast_to(anchors[None], (b, a, 7)).reshape(-1, 7)
-    ).reshape(b, a, 7)
-    dir_targets = (jnp.mod(matched_boxes[..., 6], 2 * jnp.pi)
-                   < jnp.pi).astype(jnp.int32)
+    if cols:
+        # Channel-leading layout end to end: the einsum writes (B,7,A)
+        # straight off the MXU and the residual encode runs on (B, A)
+        # column slices — the (B, A, 7) row form (minor dim 7 -> 128
+        # lane tiles, 18x padded) is never materialized. See
+        # ops/boxes.py::encode_boxes_cols.
+        from lisec_tpu.ops.boxes import encode_boxes_cols
+        matched_c = jnp.einsum("bam,bmc->bca", onehot, gt_boxes)
+        reg_targets = encode_boxes_cols(matched_c, anchors.T)
+        dir_targets = (jnp.mod(matched_c[:, 6], 2 * jnp.pi)
+                       < jnp.pi).astype(jnp.int32)
+    else:
+        matched_boxes = jnp.einsum("bam,bmc->bac", onehot, gt_boxes)
+        reg_targets = encode_boxes(
+            matched_boxes.reshape(-1, 7),
+            jnp.broadcast_to(anchors[None], (b, a, 7)).reshape(-1, 7)
+        ).reshape(b, a, 7)
+        dir_targets = (jnp.mod(matched_boxes[..., 6], 2 * jnp.pi)
+                       < jnp.pi).astype(jnp.int32)
 
     cls_targets = jnp.where(
         positive, matched_cls + 1,

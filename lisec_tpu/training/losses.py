@@ -56,6 +56,17 @@ def sin_difference(pred_boxes, target_boxes):
     return pred, target
 
 
+def sin_difference_cols(pred_boxes, target_boxes):
+    """:func:`sin_difference` on channel-leading (..., 7, N) columns
+    (box channels on sublanes — see ops/boxes.py::encode_boxes_cols)."""
+    rp, rt = pred_boxes[..., 6:7, :], target_boxes[..., 6:7, :]
+    pred = jnp.concatenate(
+        [pred_boxes[..., :6, :], jnp.sin(rp) * jnp.cos(rt)], axis=-2)
+    target = jnp.concatenate(
+        [target_boxes[..., :6, :], jnp.cos(rp) * jnp.sin(rt)], axis=-2)
+    return pred, target
+
+
 def lovasz_softmax(probs, labels, *, num_classes: int, mask=None):
     """Lovász-softmax over flattened pixels/points (range seg).
 

@@ -113,6 +113,23 @@ class TestWindowedAssigner:
             feature_map_size=pipeline.fmap,
             pc_range=tuple(pipeline.cfg.voxel.point_cloud_range),
             window=min(window, min(pipeline.fmap)))
+        # The column-layout variant (what pipeline.loss consumes) must
+        # carry the same targets, transposed.
+        bat_c = assign_targets_windowed_batched(
+            *args, pipeline.class_sizes, pipeline.class_z,
+            jnp.asarray(np.stack([gt, gt])),
+            jnp.asarray(np.stack([gt_cls, gt_cls])),
+            jnp.asarray(np.stack([gt_mask, gt_mask])),
+            feature_map_size=pipeline.fmap,
+            pc_range=tuple(pipeline.cfg.voxel.point_cloud_range),
+            window=min(window, min(pipeline.fmap)), cols=True)
+        np.testing.assert_allclose(
+            np.asarray(bat_c.reg_targets.transpose(0, 2, 1)),
+            np.asarray(bat.reg_targets), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(bat_c.dir_targets),
+                                      np.asarray(bat.dir_targets))
+        np.testing.assert_array_equal(np.asarray(bat_c.cls_targets),
+                                      np.asarray(bat.cls_targets))
         for i in range(2):
             np.testing.assert_array_equal(
                 np.asarray(bat.positive[i]), np.asarray(win.positive))

@@ -456,6 +456,37 @@ class TestNMS:
             np.sort(got_scores)[::-1],
             np.sort(scores[want_keep])[::-1], rtol=1e-6)
 
+    def test_class_parallel_matches_single_stream(self, rng):
+        # Per-class vmapped streams merged by score must equal the one
+        # global greedy stream exactly (classes never suppress each
+        # other; emissions are score-descending in both forms, and
+        # random float scores have no cross-class ties). Dense scene so
+        # every stream runs several rounds and the nms_post cap binds.
+        n = 256
+        boxes = np.stack([
+            rng.uniform(-8, 8, n), rng.uniform(-8, 8, n), np.zeros(n),
+            rng.uniform(2, 6, n), rng.uniform(1, 4, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        labels = rng.integers(0, 3, n).astype(np.int32)
+        for k_near, post in ((0, 24), (16, 24), (0, 128)):
+            kw = dict(iou_threshold=0.2, score_threshold=0.05,
+                      nms_pre=256, nms_post=post, k_near=k_near)
+            a = ops.rotated_nms(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                jnp.asarray(labels), class_parallel=3, **kw)
+            b = ops.rotated_nms(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                jnp.asarray(labels), class_parallel=0, **kw)
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid))
+            np.testing.assert_array_equal(np.asarray(a.scores),
+                                          np.asarray(b.scores))
+            np.testing.assert_array_equal(np.asarray(a.boxes),
+                                          np.asarray(b.boxes))
+            np.testing.assert_array_equal(np.asarray(a.labels),
+                                          np.asarray(b.labels))
+
     def test_block_size_invariance(self, rng):
         n = 96
         boxes = np.stack([
