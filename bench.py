@@ -38,14 +38,17 @@ def main():
     if extra:
         cfg = apply_overrides(cfg, [o for o in extra.split(",") if o])
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    # Trained snapshot (weights/, committed from the hard-fixture
-    # rehearsal): the deployment regime — a trained head's scores are
-    # sparse so NMS early-exits; an untrained head's ~0.5 sigmoid
-    # scores force worst-case NMS on every cloud. Both numbers are
-    # reported; BENCH_UNTRAINED=1 forces the old regime.
+    # Headline regime: UNTRAINED weights (worst-case NMS), the same
+    # definition rounds 3/4 used. The trained-snapshot "deployment"
+    # regime (weights/pointpillars_fixture_hard.npz) was hypothesized
+    # to be faster via sparse-score NMS early exit, but the round-5
+    # same-session A/B measured it SLOWER: 426.6 vs 501.6 clouds/s
+    # device-resident b32 (docs/ROUND5_NOTES.md "Flagship trained-
+    # regime A/B"). BENCH_TRAINED=1 opts into the trained snapshot
+    # (it also reports the untrained number in detail).
     weights = os.path.join(os.path.dirname(__file__), "weights",
                            "pointpillars_fixture_hard.npz")
-    if os.environ.get("BENCH_UNTRAINED") == "1" or not os.path.exists(weights):
+    if os.environ.get("BENCH_TRAINED") != "1" or not os.path.exists(weights):
         weights = ""
     result = run_benchmark(cfg, batch_size=batch_size,
                            weights_path=weights)
